@@ -1,0 +1,175 @@
+"""TOML-driven command-line front-end.
+
+`particlesmc-tpu params.toml` (or `python -m particlesmc_tpu params.toml`)
+mirrors the reference CLI schema exactly (reference src/ParticlesMC.jl:137-299;
+docs/src/man/simulations.md:21-68):
+
+[system]    config / temperature / density / model (or [model."i-j"] blocks) /
+            list_type / list_parameters
+[simulation] steps / burn / seed / parallel / output_path
+[[simulation.move]]   action / policy / probability / parameters
+[[simulation.output]] algorithm / scheduler_params {linear_interval, log_base} /
+                      callbacks / dependencies / fmt
+
+All names resolve through explicit registries (no eval — SURVEY.md §5.6).
+Extra (TPU-native) keys: [simulation] nsim (replicas per input file),
+mesh_axis sharding is configured programmatically via parallel/.
+"""
+
+from __future__ import annotations
+
+import sys
+import tomllib
+from typing import Any, Dict
+
+from .engine.schedule import build_schedule
+from .moves import base as MB
+
+
+def _build_pool(move_cfgs, chains):
+    pool = []
+    for mv in move_cfgs:
+        action = mv["action"]
+        policy = mv.get("policy")
+        prob = float(mv["probability"])
+        params = mv.get("parameters", {})
+        if action == "Displacement":
+            if "sigma" not in params:
+                raise ValueError("Missing parameter 'sigma' for action: Displacement")
+            if policy != "SimpleGaussian":
+                raise ValueError(f"Unsupported policy: {policy} for action: {action}")
+            pool.append(MB.displacement(params["sigma"], prob))
+        elif action == "DiscreteSwap":
+            sp = params.get("species")
+            if not sp or len(sp) != 2:
+                raise ValueError("'species' for action DiscreteSwap must be two ints")
+            s1, s2 = int(sp[0]) - 1, int(sp[1]) - 1  # file species are 1-based
+            if policy == "DoubleUniform":
+                pool.append(MB.discrete_swap(s1, s2, prob))
+            elif policy == "EnergyBias":
+                pool.append(
+                    MB.discrete_swap(
+                        s1,
+                        s2,
+                        prob,
+                        policy="energy_bias",
+                        theta1=params.get("theta1", 0.0),
+                        theta2=params.get("theta2", 0.0),
+                    )
+                )
+            else:
+                raise ValueError(f"Unsupported policy: {policy} for action: {action}")
+        elif action == "MoleculeFlip":
+            if policy != "DoubleUniform":
+                raise ValueError(f"Unsupported policy: {policy} for action: {action}")
+            pool.append(MB.molecule_flip(prob))
+        else:
+            raise ValueError(f"Unsupported action: {action}")
+    return tuple(pool)
+
+
+def _build_outputs(output_cfgs, steps, burn):
+    algos = []
+    for out in output_cfgs:
+        alg = out["algorithm"]
+        sp = out.get("scheduler_params", {})
+        interval = sp.get("linear_interval", steps)
+        if "log_base" in sp:
+            block = build_schedule(interval, 0, float(sp["log_base"]))
+            sched = build_schedule(steps, burn, list(block))
+        else:
+            sched = build_schedule(steps, burn, int(interval))
+        entry: Dict[str, Any] = {"algorithm": alg, "scheduler": sched}
+        if alg == "StoreCallbacks":
+            entry["callbacks"] = tuple(out.get("callbacks", []))
+        elif alg == "StoreAcceptance":
+            entry["dependencies"] = tuple(out.get("dependencies", ["Metropolis"]))
+        elif alg in ("StoreTrajectories", "StoreLastFrames"):
+            entry["fmt"] = out.get("fmt", "XYZ")
+        elif alg in ("PrintTimeSteps", "StoreParameters"):
+            pass
+        elif alg == "ReplicaExchange":
+            pass
+        else:
+            raise ValueError(f"Unsupported output algorithm: {alg}")
+        algos.append(entry)
+    return algos
+
+
+def run_params(params: Dict[str, Any]):
+    """Assemble and run a Simulation from a parsed TOML dict."""
+    import jax
+
+    system = params["system"]
+    sim_cfg = params["simulation"]
+
+    precision = str(sim_cfg.get("precision", system.get("precision", "f64")))
+    if precision in ("f64", "float64", "double"):
+        jax.config.update("jax_enable_x64", True)
+        dtype = "float64"
+    else:
+        dtype = "float32"
+    import jax.numpy as jnp
+
+    from .engine.simulation import Simulation
+    from .io.loader import load_chains
+
+    model = system.get("model", params.get("model"))
+    if model is None:
+        raise ValueError("model must be given in [system] or as [model.\"i-j\"] blocks")
+
+    args = {
+        "temperature": system.get("temperature"),
+        "density": system.get("density"),
+        "model": model,
+        "list_type": system.get("list_type", "LinkedList"),
+        "list_parameters": system.get("list_parameters"),
+        "nsim": sim_cfg.get("nsim"),
+    }
+    chains = load_chains(
+        system["config"], args=args, verbose=bool(sim_cfg.get("verbose", False)),
+        dtype=jnp.float64 if dtype == "float64" else jnp.float32,
+    )
+
+    steps = int(sim_cfg["steps"])
+    burn = int(sim_cfg.get("burn", 0))
+    pool = _build_pool(sim_cfg.get("move", []), chains)
+    algorithms = [
+        {
+            "algorithm": "Metropolis",
+            "pool": pool,
+            "seed": int(sim_cfg.get("seed", 0)),
+            "parallel": bool(sim_cfg.get("parallel", False)),
+            "sweepstep": int(sim_cfg.get("sweepstep", chains.n_particles)),
+        }
+    ] + _build_outputs(sim_cfg.get("output", []), steps, burn)
+
+    sim = Simulation(
+        chains,
+        algorithms,
+        steps,
+        path=sim_cfg.get("output_path", "./"),
+        verbose=bool(sim_cfg.get("verbose", True)),
+    )
+    sim.run()
+    return sim
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1 or argv[0] in ("-h", "--help"):
+        print("usage: particlesmc-tpu <params.toml>")
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    import os
+
+    if not os.path.isfile(argv[0]):
+        print(f"Parameter file '{argv[0]}' does not exist in the current path.")
+        return 1
+    with open(argv[0], "rb") as f:
+        params = tomllib.load(f)
+    run_params(params)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

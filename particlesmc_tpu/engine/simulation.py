@@ -1,0 +1,344 @@
+"""The Simulation engine — the Arianna layer rebuilt TPU-first.
+
+`Simulation(chains, algorithm_list, steps; path, verbose)` + `run()` mirror
+the reference engine contract (SURVEY.md §1.2). One "step" = one Metropolis
+sweep of `sweepstep` attempted moves (reference `sweepstep=N` convention,
+src/ParticlesMC.jl:246). All chains advance together: the sweep kernel is
+vmapped over the chain axis and dispatched in chunks between scheduled output
+events, so the device never waits on host I/O between outputs.
+
+Output algorithms and their directory contract (SURVEY.md §5.5):
+- StoreCallbacks   → <path>/chains/<k>/<name>.dat         rows "step value"
+- StoreAcceptance  → <path>/moves/<id>/acceptance.dat     rows "step rate"
+- StoreTrajectories→ <path>/chains/<k>/trajectory.<ext>   appended frames
+- StoreLastFrames  → <path>/chains/<k>/lastframe.<ext>    restart file
+- StoreParameters  → <path>/moves/<id>/parameters.dat     learnable θ
+- PrintTimeSteps   → progress to stdout
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import neighbours as NB
+from ..io import formats
+from ..io.loader import Chains
+from ..models.tables import PairTable
+from ..moves import kernel as K
+from ..moves.base import Move, init_pool_params
+from .callbacks import CALLBACK_REGISTRY
+from .schedule import build_schedule
+
+FMT_NAMES = {"XYZ": "xyz", "EXYZ": "exyz", "LAMMPS": "lammps"}
+
+
+@dataclass
+class Algorithm:
+    """One algorithm_list entry (NamedTuple in the reference, test/runtests.jl:57-64)."""
+
+    name: str
+    scheduler: Optional[np.ndarray] = None
+    callbacks: Tuple[Any, ...] = ()
+    fmt: str = "xyz"
+    dependencies: Tuple[str, ...] = ()
+    optimisers: Tuple[Any, ...] = ()
+    q_batch_size: int = 10
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+def _normalise_algorithm(entry) -> Algorithm:
+    if isinstance(entry, Algorithm):
+        return entry
+    d = dict(entry)
+    name = d.pop("algorithm")
+    if not isinstance(name, str):
+        name = getattr(name, "__name__", str(name))
+    fmt = d.pop("fmt", "xyz")
+    fmt = FMT_NAMES.get(fmt, fmt)
+    sched = d.pop("scheduler", None)
+    if sched is not None:
+        sched = np.asarray(sched, np.int64)
+    return Algorithm(
+        name=name,
+        scheduler=sched,
+        callbacks=tuple(d.pop("callbacks", ())),
+        fmt=fmt,
+        dependencies=tuple(d.pop("dependencies", ())),
+        optimisers=tuple(d.pop("optimisers", ())),
+        q_batch_size=int(d.pop("q_batch_size", 10)),
+        extra=d,
+    )
+
+
+class Simulation:
+    """Engine state: batched chains + kernels + scheduled output algorithms."""
+
+    def __init__(
+        self,
+        chains: Chains,
+        algorithm_list: Sequence[Any],
+        steps: int,
+        path: str = "./",
+        verbose: bool = False,
+    ):
+        self.chains = chains
+        self.steps = int(steps)
+        self.path = path
+        self.verbose = verbose
+
+        algos = [_normalise_algorithm(a) for a in algorithm_list]
+        metro = [a for a in algos if a.name == "Metropolis"]
+        if len(metro) != 1:
+            raise ValueError("algorithm_list must contain exactly one Metropolis entry")
+        m = metro[0]
+        self.pool: Tuple[Move, ...] = tuple(m.extra["pool"])
+        self.seed = int(m.extra.get("seed", 0))
+        self.sweepstep = int(m.extra.get("sweepstep", chains.n_particles))
+        self.outputs = [a for a in algos if a.name != "Metropolis"]
+
+        # --- static kernel config -----------------------------------------
+        n = chains.n_particles
+        box0 = np.asarray(chains.states.box[0])
+        if not np.allclose(np.asarray(chains.states.box), box0[None, :]):
+            raise ValueError("All chains must share the same box for batched kernels")
+        cell_spec = None
+        if chains.list_type in ("cell", "verlet"):
+            cap = chains.list_parameters.get("cap")
+            cell_spec = NB.make_spec(
+                box0, chains.table.max_cutoff, n, float(np.asarray(chains.states.density)[0]), cap
+            )
+            if cell_spec is None and verbose:
+                print("cell grid too small; falling back to dense candidates")
+        self.config = K.KernelConfig(
+            pool=self.pool,
+            table=chains.table,
+            cell_spec=cell_spec,
+            mol_start=tuple(chains.mol_start) if chains.mol_start is not None else None,
+            mol_len=tuple(chains.mol_len) if chains.mol_len is not None else None,
+            sweepstep=self.sweepstep,
+        )
+        self.mol_start = chains.mol_start
+        self.mol_len = chains.mol_len
+
+        dtype = chains.states.position.dtype
+        self.pool_params = init_pool_params(self.pool, dtype)
+
+        # --- batched sampler state ----------------------------------------
+        keys = jax.vmap(lambda c: jax.random.fold_in(jax.random.PRNGKey(self.seed), c))(
+            jnp.arange(chains.n_chains)
+        )
+        self.mc = jax.vmap(lambda st, k: K.init_mc_state(st, self.config, k))(
+            chains.states, keys
+        )
+
+        sweep = K.build_sweep_fn(self.config, n)
+
+        def chunk(mc, params, n_sweeps):
+            def body(carry, _):
+                return sweep(carry, params), None
+
+            mc, _ = jax.lax.scan(body, mc, None, length=n_sweeps)
+            return mc
+
+        self._chunk_cache: Dict[int, Callable] = {}
+
+        def run_chunk(mc, params, n_sweeps: int):
+            f = self._chunk_cache.get(n_sweeps)
+            if f is None:
+                f = jax.jit(jax.vmap(partial(chunk, n_sweeps=n_sweeps), in_axes=(0, None)))
+                self._chunk_cache[n_sweeps] = f
+            return f(mc, params)
+
+        self._run_chunk = run_chunk
+
+        # PGMC wiring (built lazily by engine/pgmc.py when requested)
+        self._pgmc = None
+        est = [a for a in self.outputs if a.name == "PolicyGradientEstimator"]
+        upd = [a for a in self.outputs if a.name == "PolicyGradientUpdate"]
+        if est:
+            from .pgmc import PGMC
+
+            self._pgmc = PGMC(self, est[0].optimisers, est[0].q_batch_size)
+            self._pgmc_update_sched = (
+                set(int(t) for t in upd[0].scheduler) if upd and upd[0].scheduler is not None else set()
+            )
+
+        # Parallel tempering (first-class here; "(soon)" in the reference)
+        self._rex = None
+        rex = [a for a in self.outputs if a.name == "ReplicaExchange"]
+        if rex:
+            from .tempering import ReplicaExchange
+
+            self._rex = ReplicaExchange(self, seed=self.seed)
+            self._rex_sched = set(int(t) for t in rex[0].scheduler)
+
+        self._event_times = self._collect_event_times()
+        self._writers_ready = False
+
+    # ------------------------------------------------------------------
+    def _collect_event_times(self) -> np.ndarray:
+        times = {0, self.steps}
+        for a in self.outputs:
+            if a.scheduler is not None:
+                times.update(int(t) for t in a.scheduler)
+        if self._pgmc is not None:
+            # estimator runs every sweep (no scheduler, dependency-driven)
+            times.update(range(self.steps + 1))
+        return np.asarray(sorted(t for t in times if 0 <= t <= self.steps), np.int64)
+
+    # ------------------------------------------------------------------
+    def _prepare_dirs(self):
+        for k in range(self.chains.n_chains):
+            os.makedirs(os.path.join(self.path, "chains", str(k + 1)), exist_ok=True)
+        for m in range(len(self.pool)):
+            os.makedirs(os.path.join(self.path, "moves", str(m + 1)), exist_ok=True)
+        # Truncate append-mode files from previous runs
+        for a in self.outputs:
+            if a.name == "StoreCallbacks":
+                for cb in a.callbacks:
+                    name = cb if isinstance(cb, str) else cb.__name__
+                    for k in range(self.chains.n_chains):
+                        open(self._chain_file(k, f"{name}.dat"), "w").close()
+            elif a.name == "StoreTrajectories":
+                ext = formats.FORMAT_EXTENSION[a.fmt]
+                for k in range(self.chains.n_chains):
+                    open(self._chain_file(k, f"trajectory{ext}"), "w").close()
+            elif a.name == "StoreAcceptance":
+                for m in range(len(self.pool)):
+                    open(self._move_file(m, "acceptance.dat"), "w").close()
+            elif a.name == "StoreParameters":
+                for m in range(len(self.pool)):
+                    open(self._move_file(m, "parameters.dat"), "w").close()
+        self._writers_ready = True
+
+    def _chain_file(self, k: int, name: str) -> str:
+        return os.path.join(self.path, "chains", str(k + 1), name)
+
+    def _move_file(self, m: int, name: str) -> str:
+        return os.path.join(self.path, "moves", str(m + 1), name)
+
+    # ------------------------------------------------------------------
+    def _frame_kwargs(self, k: int, t: int, fmt: str, with_bonds: bool):
+        st = jax.device_get(jax.tree.map(lambda x: x[k], self.mc.system))
+        kw = dict(
+            species=np.asarray(st.species) + 1,
+            position=np.asarray(st.position),
+            box=np.asarray(st.box),
+            step=t,
+        )
+        if fmt == "xyz":
+            kw["rho"] = float(st.density)
+            kw["T"] = float(st.temperature)
+        if st.molecule is not None:
+            kw["molecule"] = np.asarray(st.molecule) + 1
+            if with_bonds and fmt != "lammps":
+                bonds = np.asarray(st.bonds)
+                pairs = [
+                    (i + 1, j + 1)
+                    for i in range(bonds.shape[0])
+                    for j in bonds[i]
+                    if j >= 0 and i < j
+                ]
+                kw["bond_pairs"] = pairs
+        return kw
+
+    def _fire_outputs(self, t: int):
+        for a in self.outputs:
+            if a.scheduler is None or t not in a.scheduler:
+                continue
+            if a.name == "StoreCallbacks":
+                for cb in a.callbacks:
+                    name = cb if isinstance(cb, str) else cb.__name__
+                    fn = CALLBACK_REGISTRY[name] if isinstance(cb, str) else cb
+                    vals = fn(self)
+                    for k in range(self.chains.n_chains):
+                        with open(self._chain_file(k, f"{name}.dat"), "a") as f:
+                            f.write(f"{t} {vals[k]:.12g}\n")
+            elif a.name == "StoreAcceptance":
+                att = np.asarray(self.mc.attempted).sum(axis=0)
+                acc = np.asarray(self.mc.accepted).sum(axis=0)
+                for m in range(len(self.pool)):
+                    rate = acc[m] / att[m] if att[m] > 0 else 0.0
+                    with open(self._move_file(m, "acceptance.dat"), "a") as f:
+                        f.write(f"{t} {rate:.12g}\n")
+            elif a.name == "StoreTrajectories":
+                ext = formats.FORMAT_EXTENSION[a.fmt]
+                for k in range(self.chains.n_chains):
+                    text = formats.write_frame(a.fmt, **self._frame_kwargs(k, t, a.fmt, False))
+                    with open(self._chain_file(k, f"trajectory{ext}"), "a") as f:
+                        f.write(text)
+            elif a.name == "StoreLastFrames":
+                ext = formats.FORMAT_EXTENSION[a.fmt]
+                for k in range(self.chains.n_chains):
+                    text = formats.write_frame(a.fmt, **self._frame_kwargs(k, t, a.fmt, True))
+                    with open(self._chain_file(k, f"lastframe{ext}"), "w") as f:
+                        f.write(text)
+            elif a.name == "StoreParameters":
+                for m, p in enumerate(self.pool_params):
+                    if not p:
+                        continue
+                    vals = " ".join(f"{float(v):.12g}" for v in p.values())
+                    with open(self._move_file(m, "parameters.dat"), "a") as f:
+                        f.write(f"{t} {vals}\n")
+            elif a.name == "PrintTimeSteps":
+                print(f"step {t}/{self.steps}")
+            elif a.name in (
+                "PolicyGradientEstimator",
+                "PolicyGradientUpdate",
+                "ReplicaExchange",
+            ):
+                continue  # handled in run()
+            else:
+                raise ValueError(f"Unsupported output algorithm: {a.name}")
+
+    # ------------------------------------------------------------------
+    def check_health(self):
+        """Surface sticky device-side error flags (cell-list overflow)."""
+        if self.mc.cell is not None and bool(np.any(np.asarray(self.mc.cell.overflow))):
+            raise RuntimeError(
+                "cell-list bucket overflow: increase list_parameters.cap"
+            )
+
+    def run(self):
+        """Execute `steps` sweeps, firing scheduled algorithms (Arianna run!,
+        SURVEY.md §1.2)."""
+        if not self._writers_ready:
+            self._prepare_dirs()
+        if self.verbose:
+            st = self.chains.states
+            print(f"\tNumber of particles: {st.position.shape[1]}")
+            print(f"\tDimensions: {st.position.shape[2]}")
+            print(f"\tChains: {self.chains.n_chains}")
+            print(f"\tNeighbour mode: {'cell' if self.config.cell_spec else 'dense'}")
+
+        t = 0
+        self._fire_outputs(0)
+        for nxt in self._event_times:
+            if nxt == 0:
+                continue
+            gap = int(nxt - t)
+            if gap > 0:
+                self.mc = self._run_chunk(self.mc, self.pool_params, gap)
+                t = int(nxt)
+            if self._rex is not None and t in self._rex_sched:
+                self._rex.step()
+                with open(os.path.join(self.path, "tempering_acceptance.dat"), "a") as f:
+                    f.write(f"{t} {self._rex.rate:.12g}\n")
+            if self._pgmc is not None:
+                self._pgmc.estimate()
+                if t in self._pgmc_update_sched:
+                    self._pgmc.update()
+            self._fire_outputs(t)
+        self.check_health()
+        return self
+
+
+def run(sim: Simulation) -> Simulation:
+    return sim.run()

@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+All tests run on CPU with 8 virtual devices (multi-chip sharding is validated
+on a simulated mesh — SURVEY.md §4.4) and float64 enabled so golden energies
+from the reference (computed in Julia Float64) match to 1e-6.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache — first-compile on this host is slow (SURVEY
+# environment notes); repeat test runs hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
