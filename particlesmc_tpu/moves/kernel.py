@@ -77,12 +77,13 @@ def init_mc_state(system: SystemState, config: KernelConfig, seed) -> MCState:
     if config.cell_spec is not None:
         cell = NB.build_cell_list(system.position, system.box, config.cell_spec)
     nm = len(config.pool)
+    cdt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     return MCState(
         system=system,
         key=key,
         cell=cell,
-        attempted=jnp.zeros((nm,), jnp.int64),
-        accepted=jnp.zeros((nm,), jnp.int64),
+        attempted=jnp.zeros((nm,), cdt),
+        accepted=jnp.zeros((nm,), cdt),
     )
 
 
@@ -475,7 +476,7 @@ def build_step_fn(config: KernelConfig, n: int) -> Callable:
             cell = NB.move_particle(cell, prop.i, new_cell_id)
 
         attempted = mc.attempted.at[move_k].add(1)
-        accepted = mc.accepted.at[move_k].add(accept.astype(jnp.int64))
+        accepted = mc.accepted.at[move_k].add(accept.astype(mc.accepted.dtype))
 
         mc2 = mc.replace(
             system=st.replace(position=position, species=species, energy=energy),

@@ -7,15 +7,18 @@ from the reference (computed in Julia Float64) match to 1e-6.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel); tests must run on local CPU with 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")  # env var alone is not honoured here
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache — first-compile on this host is slow (SURVEY
 # environment notes); repeat test runs hit the cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

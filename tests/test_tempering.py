@@ -1,0 +1,125 @@
+"""Parallel tempering: swap mechanics and the sharded-chains collective path
+(SURVEY.md §2.10 — first-class in this build, '(soon)' in the reference)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from particlesmc_tpu.core.energy import initialize_energy
+from particlesmc_tpu.core.state import make_system
+from particlesmc_tpu.engine.tempering import replica_exchange
+from particlesmc_tpu.models import tables as T
+from particlesmc_tpu.moves import base as MB
+from particlesmc_tpu.moves import kernel as K
+
+
+def _ladder_batch(m=8, n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    d = 2
+    density = 0.5
+    L = (n / density) ** (1 / d)
+    per_dim = int(np.ceil(n ** (1 / d)))
+    a = L / per_dim
+    grid = np.stack(
+        np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n]
+    table = T.KobAndersen()
+    states = []
+    for k in range(m):
+        pos = grid + rng.uniform(-0.05 * a, 0.05 * a, (n, d))
+        sp = rng.integers(1, 3, n)
+        st = make_system(pos, sp, density, 1.0, dtype=jnp.float64)
+        st = initialize_energy(st, table, check=False)
+        states.append(st)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    ladder = jnp.linspace(0.5, 2.0, m)
+    batch = batch.replace(temperature=ladder)
+    return batch, table
+
+
+def test_swap_exchanges_configurations_not_temperatures():
+    batch, table = _ladder_batch()
+    config = K.KernelConfig(pool=(MB.displacement(0.1),), table=table, cell_spec=None)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    mc = jax.vmap(lambda s, k: K.init_mc_state(s, config, k))(batch, keys)
+
+    T0 = np.asarray(mc.system.temperature)
+    E0 = np.asarray(mc.system.energy)
+    P0 = np.asarray(mc.system.position)
+
+    mc2, att, acc = replica_exchange(mc, jax.random.PRNGKey(42), 0)
+    T1 = np.asarray(mc2.system.temperature)
+    E1 = np.asarray(mc2.system.energy)
+    P1 = np.asarray(mc2.system.position)
+
+    # temperatures stay with the slot
+    np.testing.assert_array_equal(T0, T1)
+    # pairs attempted are the even-left ones
+    np.testing.assert_array_equal(np.asarray(att), [True, False] * 4)
+    # accepted pairs exchanged configurations; others untouched
+    acc = np.asarray(acc)
+    for k in range(0, 8, 2):
+        if acc[k]:
+            assert E1[k] == pytest.approx(E0[k + 1])
+            assert E1[k + 1] == pytest.approx(E0[k])
+            np.testing.assert_allclose(P1[k], P0[k + 1])
+        else:
+            assert E1[k] == pytest.approx(E0[k])
+    # energy multiset conserved
+    np.testing.assert_allclose(np.sort(E0), np.sort(E1))
+
+
+def test_swap_acceptance_rule():
+    """A pair with E_k > E_{k+1} and beta_k > beta_{k+1} has log_alpha > 0 →
+    always swaps; the reverse ordering obeys the Metropolis rule."""
+    batch, table = _ladder_batch(m=2)
+    config = K.KernelConfig(pool=(MB.displacement(0.1),), table=table, cell_spec=None)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    mc = jax.vmap(lambda s, k: K.init_mc_state(s, config, k))(batch, keys)
+    # force E_0 > E_1 with T_0 < T_1 (beta_0 > beta_1) → log_alpha > 0
+    sys2 = mc.system.replace(
+        energy=jnp.asarray([10.0, -10.0]), temperature=jnp.asarray([0.5, 2.0])
+    )
+    mc = mc.replace(system=sys2)
+    mc2, att, acc = replica_exchange(mc, jax.random.PRNGKey(1), 0)
+    assert bool(acc[0])
+    np.testing.assert_allclose(np.asarray(mc2.system.energy), [-10.0, 10.0])
+
+
+def test_sharded_chains_match_single_device():
+    """jit over an 8-device mesh (chains sharded) reproduces the unsharded
+    trajectories bit-for-bit — determinism under sharding (SURVEY.md §7
+    hard part c)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    batch, table = _ladder_batch(m=8)
+    pool = (MB.displacement(0.1),)
+    config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
+    params = MB.init_pool_params(pool)
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    mc = jax.vmap(lambda s, k: K.init_mc_state(s, config, k))(batch, keys)
+    sweep = K.build_sweep_fn(config, 32)
+
+    def train(mcb, prm, key):
+        mcb = jax.vmap(lambda m: sweep(m, prm))(mcb)
+        mcb, _, _ = replica_exchange(mcb, key, 0)
+        return mcb
+
+    key = jax.random.PRNGKey(9)
+    ref = jax.jit(train)(mc, params, key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("chains",))
+    shard = NamedSharding(mesh, P("chains"))
+    mc_sh = jax.device_put(mc, shard)
+    out = jax.jit(train)(mc_sh, jax.device_put(params, NamedSharding(mesh, P())), key)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref.system.position), np.asarray(out.system.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.system.energy), np.asarray(out.system.energy)
+    )
+    # state actually lives on 8 devices
+    assert len(out.system.position.sharding.device_set) == 8
