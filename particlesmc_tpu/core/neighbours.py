@@ -112,11 +112,13 @@ _OFFSETS_CACHE = {}
 
 
 def _offsets(d: int):
+    # Cache as numpy (never jnp): a jnp constant materialised during a jit
+    # trace is a tracer, and caching it across traces leaks it.
     if d not in _OFFSETS_CACHE:
-        _OFFSETS_CACHE[d] = jnp.asarray(
-            list(itertools.product((-1, 0, 1), repeat=d)), jnp.int32
+        _OFFSETS_CACHE[d] = np.asarray(
+            list(itertools.product((-1, 0, 1), repeat=d)), np.int32
         )
-    return _OFFSETS_CACHE[d]
+    return jnp.asarray(_OFFSETS_CACHE[d])
 
 
 def neighbour_cells_of(x, box, spec: CellSpec):

@@ -18,7 +18,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")  # env var alone is not honoured here
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache — first-compile on this host is slow (SURVEY
-# environment notes); repeat test runs hit the cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: no persistent compilation cache for CPU tests — processes in this
+# environment land on hosts with differing CPU features, and stale AOT cache
+# entries fail to load (or SIGILL). CPU compiles are fast enough without it.
