@@ -109,7 +109,14 @@ class Simulation:
         if not np.allclose(np.asarray(chains.states.box), box0[None, :]):
             raise ValueError("All chains must share the same box for batched kernels")
         cell_spec = None
-        if chains.list_type in ("cell", "verlet"):
+        force_cells = bool(chains.list_parameters.get("force_cells", False))
+        if chains.list_type in ("cell", "verlet") and (
+            n > K.DENSE_DELTA_MAX or force_cells
+        ):
+            # Below DENSE_DELTA_MAX the gather-free dense ΔE outruns cell
+            # candidates on TPU (vector-index gathers serialise); the user's
+            # list_type then only matters above the threshold (or when
+            # list_parameters.force_cells is set, e.g. for parity testing).
             cap = chains.list_parameters.get("cap")
             cell_spec = NB.make_spec(
                 box0, chains.table.max_cutoff, n, float(np.asarray(chains.states.density)[0]), cap

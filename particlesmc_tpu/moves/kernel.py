@@ -35,6 +35,12 @@ from ..models.tables import PairTable
 from .base import Move, pool_probabilities
 
 
+# Below this particle count the gather-free dense ΔE (O(N) contiguous VPU
+# lanes per move) beats cell-list candidates on TPU, where a vector-index
+# gather serialises per index. Engine-level backend selection keys off this.
+DENSE_DELTA_MAX = 32768
+
+
 class Proposal(NamedTuple):
     i: jax.Array  # particle whose position/species changes
     j: jax.Array  # second particle (species change only); == i for displacement
@@ -93,17 +99,19 @@ def init_mc_state(system: SystemState, config: KernelConfig, seed) -> MCState:
 
 
 def _make_cand_fn(config: KernelConfig, n: int):
+    """Candidate-index function, or None for the gather-free dense path.
+
+    Dense mode deliberately returns None instead of arange(N): a vector-index
+    gather of ~N rows lowers to a serial loop on TPU (measured ~3 ms per ΔE),
+    while the no-gather dense kernel is ~30N contiguous VPU lanes.
+    """
     if config.cell_spec is None:
-        dense = jnp.arange(n, dtype=jnp.int32)
+        return None
 
-        def cand_fn(x, box, cell):
-            return dense
+    spec = config.cell_spec
 
-    else:
-        spec = config.cell_spec
-
-        def cand_fn(x, box, cell):
-            return NB.candidates_around(x, box, cell, spec)
+    def cand_fn(x, box, cell):
+        return NB.candidates_around(x, box, cell, spec)
 
     return cand_fn
 
@@ -196,8 +204,10 @@ def _energy_bias_logq(st: SystemState, cell, params, cand_fn, s1, s2, table, i, 
     the inverted action after perform_action!, SURVEY.md §3.2)."""
     th1, th2 = params["theta1"], params["theta2"]
 
-    def cfn(k):
-        return cand_fn(st.position[k], st.box, cell)
+    cfn = None
+    if cand_fn is not None:
+        def cfn(k):
+            return cand_fn(st.position[k], st.box, cell)
 
     e_all = E.per_particle_energies(
         st.position, st.species, st.box, table, st.bonds, cand_fn=cfn
@@ -226,8 +236,10 @@ def _propose_swap_energy_bias(
     k1, k2 = jax.random.split(key)
     th1, th2 = params["theta1"], params["theta2"]
 
-    def cfn(k):
-        return cand_fn(st.position[k], st.box, cell)
+    cfn = None
+    if cand_fn is not None:
+        def cfn(k):
+            return cand_fn(st.position[k], st.box, cell)
 
     e_all = E.per_particle_energies(
         st.position, st.species, st.box, table, bonds, cand_fn=cfn
@@ -401,6 +413,28 @@ def build_delta_e_fn(config: KernelConfig, n: int) -> Callable:
     (src/moves.jl:57-67, 187-194)."""
     cand_fn = _make_cand_fn(config, n)
     table = config.table
+
+    if cand_fn is None:
+
+        def delta_e(st: SystemState, cell, prop: Proposal):
+            dt = st.position.dtype
+            ov = E.Override(
+                i=prop.i, j=prop.j, pos_i=prop.pos_i, sp_i=prop.sp_i, sp_j=prop.sp_j
+            )
+            pe = partial(
+                E.particle_energy_nogather,
+                position=st.position,
+                species=st.species,
+                box=st.box,
+                table=table,
+                bonds=st.bonds,
+            )
+            pair_mask = (prop.j != prop.i).astype(dt)
+            e1 = pe(prop.i) + pair_mask * pe(prop.j)
+            e2 = pe(prop.i, ov=ov) + pair_mask * pe(prop.j, ov=ov)
+            return e1, e2
+
+        return delta_e
 
     def delta_e(st: SystemState, cell, prop: Proposal):
         dt = st.position.dtype
