@@ -1,0 +1,118 @@
+"""Checkerboard hyper-sweep kernel tests.
+
+The kernel is validated the way the reference validates neighbour-list
+implementations (test/runtests.jl pattern): exact incremental-energy
+bookkeeping against the dense oracle, plus statistical agreement with the
+sequential kernel (same target distribution, different proposal scheme).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particlesmc_tpu.core import energy as E
+from particlesmc_tpu.core.state import make_system
+from particlesmc_tpu.models import tables as T
+from particlesmc_tpu.moves import base as MB
+from particlesmc_tpu.moves import checkerboard as CB
+from particlesmc_tpu.moves import kernel as K
+
+
+def _lattice_system(n, d, density, temperature, table, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    L = (n / density) ** (1 / d)
+    per_dim = int(np.ceil(n ** (1 / d)))
+    a = L / per_dim
+    grid = np.stack(
+        np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n]
+    pos = grid + rng.uniform(-0.03 * a, 0.03 * a, (n, d))
+    species = (rng.random(n) < 0.2).astype(np.int64) + 1
+    st = make_system(pos, species, density, temperature, dtype=dtype)
+    return E.initialize_energy(st, table)
+
+
+def test_spec_too_small_returns_none():
+    # L = 5, rcut = 2.5 -> 2 cells per dim -> no checkerboard grid
+    assert CB.make_cb_spec(np.full(3, 5.0), 2.5, 100) is None
+
+
+def test_incremental_energy_matches_oracle():
+    """After hyper-sweeps, the incrementally booked energy equals a fresh
+    dense recomputation — pins ΔE, masking, self-exclusion, and scatters."""
+    table = T.KobAndersen(jnp.float64)
+    n, d, density = 1300, 3, 1.2
+    st = _lattice_system(n, d, density, temperature=1.0, table=table)
+    spec = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+    assert spec is not None and min(spec.ncells) >= 4
+
+    cb = CB.init_cb_state(st, spec, seed=7)
+    assert not bool(cb.overflow)
+    sweep = jax.jit(CB.build_hyper_sweep_fn(spec, table, n))
+    for _ in range(3):
+        cb = sweep(cb, 0.08)
+
+    assert not bool(cb.overflow)
+    e_inc = float(cb.system.energy)
+    e_ref = float(
+        E.total_energy_dense(cb.system.position, cb.system.species, cb.system.box, table)
+    )
+    np.testing.assert_allclose(e_inc, e_ref, rtol=1e-9, atol=1e-7)
+    # some moves must actually have been accepted for this to mean anything
+    assert int(cb.accepted) > 50
+    # payload stays consistent with positions
+    pay = np.asarray(cb.payload)
+    idx = np.asarray(cb.idx)
+    pos = np.asarray(cb.system.position)
+    mask = idx >= 0
+    np.testing.assert_allclose(pay[..., :d][mask], pos[idx[mask]], atol=1e-12)
+    # every particle is binned exactly once
+    ids = np.sort(idx[mask])
+    np.testing.assert_array_equal(ids, np.arange(n))
+
+
+def test_statistical_agreement_with_sequential_kernel():
+    """Same equilibrium mean energy as the sequential Metropolis kernel
+    (2D JBB so the box fits a checkerboard grid at small N)."""
+    table = T.JBB(jnp.float64)
+    n, d, density, temp = 140, 2, 1.1920748468939728, 0.8
+    sigma = 0.12
+    st = _lattice_system(n, d, density, temp, table, seed=3)
+    spec = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+    assert spec is not None
+
+    # equilibrate once with the sequential kernel, then fork both samplers
+    # from the same stationary state — removes the slow shared burn-in from
+    # the comparison.
+    pool = (MB.displacement(sigma),)
+    config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
+    params = MB.init_pool_params(pool)
+    mc = K.init_mc_state(st, config, 13)
+    sweep = jax.jit(K.build_sweep_fn(config, n))
+    for _ in range(500):
+        mc = sweep(mc, params)
+    st_eq = mc.system
+
+    meas = 400
+    cb = CB.init_cb_state(st_eq, spec, seed=11)
+    hsweep = jax.jit(CB.build_hyper_sweep_fn(spec, table, n))
+    es_cb = []
+    for _ in range(meas):
+        cb = hsweep(cb, sigma)
+        es_cb.append(float(cb.system.energy) / n)
+    assert not bool(cb.overflow)
+    acc_rate = int(cb.accepted) / int(cb.attempted)
+    assert 0.05 < acc_rate < 0.95
+
+    es_seq = []
+    for _ in range(meas):
+        mc = sweep(mc, params)
+        es_seq.append(float(mc.system.energy) / n)
+
+    m_cb, m_seq = np.mean(es_cb), np.mean(es_seq)
+    # block means to de-autocorrelate before estimating the error bar
+    b_cb = np.mean(np.reshape(es_cb, (8, -1)), axis=1)
+    b_seq = np.mean(np.reshape(es_seq, (8, -1)), axis=1)
+    s = np.sqrt(np.var(b_cb, ddof=1) / 8 + np.var(b_seq, ddof=1) / 8)
+    assert abs(m_cb - m_seq) < 6 * max(s, 1e-3), (m_cb, m_seq, s)
