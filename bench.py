@@ -1,15 +1,20 @@
 """Headline benchmark: aggregate MC sweeps/s at N=10k LJ (BASELINE.json metric).
 
-Runs the fused vmapped Metropolis sweep kernel (cell-list candidates) on a
-binary Kob-Andersen LJ mixture, N=10,000, 3D, with many independent chains
-batched per chip — the TPU-native inversion of the reference's 1 chain/core
-Julia loop (SURVEY.md §7).
+Default mode runs the checkerboard hyper-sweep kernel (moves/checkerboard.py)
+— the massively-parallel TPU Metropolis backend — on a binary Kob-Andersen LJ
+mixture, N=10,000, 3D, with many independent chains batched per chip.
+BENCH_MODE=seq measures the sequential per-move kernel instead (the
+reference-semantics path).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is measured sweeps/s divided by the estimated single-core Julia
-reference at N=10k with its LinkedList path (~200 sweeps/s — extrapolated from
-the published 5.1 us/step at N=216, benchmark/particles_benchmarks.jl:28,
-assuming ~1 us/step with O(1) neighbour iteration at N=10k → 10 ms/sweep).
+`vs_baseline` is measured aggregate sweeps/s divided by the estimated
+single-core Julia reference at N=10k with its LinkedList path (~200 sweeps/s
+— extrapolated from the published 5.1 us/step at N=216,
+benchmark/particles_benchmarks.jl:28, assuming ~1 us/step with O(1)
+neighbour iteration at N=10k → 10 ms/sweep, 1 chain/core).
+
+Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_MODE (cb|seq),
+BENCH_SIGMA.
 """
 
 import json
@@ -18,30 +23,17 @@ import sys
 import time
 
 N = int(os.environ.get("BENCH_N", 10_000))
-CHAINS = int(os.environ.get("BENCH_CHAINS", 512))
-SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 4))
+CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
+SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
+MODE = os.environ.get("BENCH_MODE", "cb")
+SIGMA = float(os.environ.get("BENCH_SIGMA", 0.10))
 JULIA_BASELINE_SWEEPS_PER_S = 200.0
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _config(dtype):
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-
-    from particlesmc_tpu.core import neighbours as NB
-    from particlesmc_tpu.core.state import make_system
-    from particlesmc_tpu.models import tables as T
-    from particlesmc_tpu.moves import base as MB
-    from particlesmc_tpu.moves import kernel as K
-
-    dtype = jnp.float32
-    d = 3
-    density = 1.2
-    temperature = 1.0
-
-    # Lattice + jitter start (overlap-free)
+    d, density, temperature = 3, 1.2, 1.0
     rng = np.random.default_rng(0)
     L = (N / density) ** (1 / d)
     per_dim = int(np.ceil(N ** (1 / d)))
@@ -49,53 +41,97 @@ def main():
     grid = np.stack(
         np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
     ).reshape(-1, d)[:N]
-    pos = grid + rng.uniform(-0.05 * a, 0.05 * a, (N, d))
-    species = (rng.random(N) < 0.2).astype(np.int64)  # 80:20 KA composition
+    pos = np.asarray(grid + rng.uniform(-0.05 * a, 0.05 * a, (N, d)), np.float32)
+    species = (rng.random(N) < 0.2).astype(np.int32) + 1
+    return pos, species, density, temperature
 
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from particlesmc_tpu.core.state import make_system
+    from particlesmc_tpu.models import tables as T
+
+    dtype = jnp.float32
+    pos, species, density, temperature = _config(dtype)
     table = T.KobAndersen(dtype)
-    st = make_system(pos, species + 1, density, temperature, dtype=dtype)
+    st = make_system(pos, species, density, temperature, dtype=dtype)
 
-    spec = NB.make_spec(np.asarray(st.box), table.max_cutoff, N, density)
-    pool = (MB.displacement(0.12),)
-    config = K.KernelConfig(pool=pool, table=table, cell_spec=spec)
-    params = MB.init_pool_params(pool, dtype)
+    if MODE == "cb":
+        from particlesmc_tpu.moves import checkerboard as CB
 
-    keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
-    batch = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (CHAINS,) + x.shape), st
-    )
-    mc = jax.vmap(lambda s, k: K.init_mc_state(s, config, k))(batch, keys)
+        spec = CB.make_cb_spec(__import__("numpy").asarray(st.box), table.max_cutoff, N)
+        hs = CB.build_hyper_sweep_fn(spec, table, N)
 
-    sweep = K.build_sweep_fn(config, N)
-    step_chunk = jax.jit(jax.vmap(lambda m: sweep(m, params)))
+        @jax.jit
+        def init_all(st):
+            keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
+            batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (CHAINS,) + x.shape), st)
+            return jax.vmap(lambda s, k: CB.init_cb_state(s, spec, k))(batch, keys)
 
-    # warmup / compile
+        state = init_all(st)
+        step = jax.jit(jax.vmap(lambda m, ck: hs(m, SIGMA, ck), in_axes=(0, None)))
+        ck = jax.random.PRNGKey(123)
+
+        def advance(s, i):
+            return step(s, jax.random.fold_in(ck, i))
+
+        label = f"checkerboard MC sweeps/s/chip, N={N} LJ, {CHAINS} chains"
+    else:
+        from particlesmc_tpu.moves import base as MB
+        from particlesmc_tpu.moves import kernel as K
+
+        pool = (MB.displacement(SIGMA),)
+        config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
+        params = MB.init_pool_params(pool, dtype)
+
+        @jax.jit
+        def init_all(st):
+            keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
+            batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (CHAINS,) + x.shape), st)
+            return jax.vmap(lambda s, k: K.init_mc_state(s, config, k))(batch, keys)
+
+        state = init_all(st)
+        sweep = K.build_sweep_fn(config, N)
+        step = jax.jit(jax.vmap(lambda m: sweep(m, params)))
+
+        def advance(s, i):
+            return step(s)
+
+        label = f"sequential MC sweeps/s/chip, N={N} LJ, {CHAINS} chains"
+
+    jax.block_until_ready(state.system.position)
+
     t0 = time.perf_counter()
-    mc = step_chunk(mc)
-    jax.block_until_ready(mc.system.position)
+    state = advance(state, 0)
+    jax.block_until_ready(state.system.position)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(SWEEPS_TIMED):
-        mc = step_chunk(mc)
-    jax.block_until_ready(mc.system.position)
+    for i in range(SWEEPS_TIMED):
+        state = advance(state, i + 1)
+    jax.block_until_ready(state.system.position)
     elapsed = time.perf_counter() - t0
 
     sweeps_per_s = CHAINS * SWEEPS_TIMED / elapsed
     print(
         json.dumps(
             {
-                "metric": f"MC sweeps/s/chip, N={N} LJ (KobAndersen), {CHAINS} chains",
+                "metric": label,
                 "value": round(sweeps_per_s, 2),
                 "unit": "sweeps/s",
                 "vs_baseline": round(sweeps_per_s / JULIA_BASELINE_SWEEPS_PER_S, 3),
             }
         )
     )
+    acc = float(jnp.sum(state.accepted)) / max(1.0, float(jnp.sum(state.attempted)))
     print(
         f"# device={jax.devices()[0].platform} compile={compile_s:.1f}s "
-        f"timed={elapsed:.2f}s accept_rate="
-        f"{float(jnp.sum(mc.accepted)) / max(1.0, float(jnp.sum(mc.attempted))):.3f}",
+        f"timed={elapsed:.2f}s accept_rate={acc:.3f}",
         file=sys.stderr,
     )
 

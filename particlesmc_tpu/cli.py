@@ -141,6 +141,9 @@ def run_params(params: Dict[str, Any]):
             "seed": int(sim_cfg.get("seed", 0)),
             "parallel": bool(sim_cfg.get("parallel", False)),
             "sweepstep": int(sim_cfg.get("sweepstep", chains.n_particles)),
+            # TPU-native extension: checkerboard hyper-sweep backend
+            # (~n_active simultaneous moves per substep; displacement-only)
+            "parallel_moves": bool(sim_cfg.get("parallel_moves", False)),
         }
     ] + _build_outputs(sim_cfg.get("output", []), steps, burn)
 

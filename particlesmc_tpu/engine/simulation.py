@@ -101,6 +101,7 @@ class Simulation:
         self.pool: Tuple[Move, ...] = tuple(m.extra["pool"])
         self.seed = int(m.extra.get("seed", 0))
         self.sweepstep = int(m.extra.get("sweepstep", chains.n_particles))
+        self.parallel_moves = bool(m.extra.get("parallel_moves", False))
         self.outputs = [a for a in algos if a.name != "Metropolis"]
 
         # --- static kernel config -----------------------------------------
@@ -141,29 +142,79 @@ class Simulation:
         keys = jax.vmap(lambda c: jax.random.fold_in(jax.random.PRNGKey(self.seed), c))(
             jnp.arange(chains.n_chains)
         )
-        self.mc = jax.vmap(lambda st, k: K.init_mc_state(st, self.config, k))(
-            chains.states, keys
-        )
-
-        sweep = K.build_sweep_fn(self.config, n)
-
-        def chunk(mc, params, n_sweeps):
-            def body(carry, _):
-                return sweep(carry, params), None
-
-            mc, _ = jax.lax.scan(body, mc, None, length=n_sweeps)
-            return mc
-
         self._chunk_cache: Dict[int, Callable] = {}
 
-        def run_chunk(mc, params, n_sweeps: int):
-            f = self._chunk_cache.get(n_sweeps)
-            if f is None:
-                f = jax.jit(jax.vmap(partial(chunk, n_sweeps=n_sweeps), in_axes=(0, None)))
-                self._chunk_cache[n_sweeps] = f
-            return f(mc, params)
+        if self.parallel_moves:
+            # Checkerboard hyper-sweep backend (moves/checkerboard.py):
+            # ~n_active independent moves per substep instead of one.
+            from ..moves import checkerboard as CBK
 
-        self._run_chunk = run_chunk
+            if len(self.pool) != 1 or self.pool[0].action != "displacement":
+                raise ValueError(
+                    "parallel_moves supports a single Displacement move pool"
+                )
+            if chains.mol_start is not None:
+                raise ValueError("parallel_moves does not support molecular systems yet")
+            if any(a.name == "PolicyGradientEstimator" for a in algos):
+                raise ValueError("parallel_moves is incompatible with PGMC")
+            cb_spec = CBK.make_cb_spec(
+                box0, chains.table.max_cutoff, n,
+                chains.list_parameters.get("cap"),
+            )
+            if cb_spec is None:
+                raise ValueError(
+                    "box too small for a checkerboard grid (need >= 4 cells "
+                    "per dimension at the interaction cutoff); unset "
+                    "parallel_moves to use the sequential kernel"
+                )
+            self.cb_spec = cb_spec
+            self.mc = jax.jit(
+                jax.vmap(lambda st, k: CBK.init_cb_state(st, cb_spec, k))
+            )(chains.states, keys)
+            hsweep = CBK.build_hyper_sweep_fn(cb_spec, chains.table, n, self.sweepstep)
+            self._color_key = jax.random.PRNGKey(self.seed ^ 0xC0102)
+
+            def cb_chunk(mc, sigma, color_keys):
+                def body(carry, ck):
+                    return hsweep(carry, sigma, ck), None
+
+                mc, _ = jax.lax.scan(body, mc, color_keys)
+                return mc
+
+            def run_chunk(mc, params, n_sweeps: int):
+                f = self._chunk_cache.get(n_sweeps)
+                if f is None:
+                    f = jax.jit(jax.vmap(cb_chunk, in_axes=(0, None, None)))
+                    self._chunk_cache[n_sweeps] = f
+                self._color_key, sub = jax.random.split(self._color_key)
+                cks = jax.random.split(sub, n_sweeps)
+                return f(mc, params[0]["sigma"], cks)
+
+            self._run_chunk = run_chunk
+        else:
+            self.mc = jax.jit(
+                jax.vmap(lambda st, k: K.init_mc_state(st, self.config, k))
+            )(chains.states, keys)
+
+            sweep = K.build_sweep_fn(self.config, n)
+
+            def chunk(mc, params, n_sweeps):
+                def body(carry, _):
+                    return sweep(carry, params), None
+
+                mc, _ = jax.lax.scan(body, mc, None, length=n_sweeps)
+                return mc
+
+            def run_chunk(mc, params, n_sweeps: int):
+                f = self._chunk_cache.get(n_sweeps)
+                if f is None:
+                    f = jax.jit(
+                        jax.vmap(partial(chunk, n_sweeps=n_sweeps), in_axes=(0, None))
+                    )
+                    self._chunk_cache[n_sweeps] = f
+                return f(mc, params)
+
+            self._run_chunk = run_chunk
 
         # PGMC wiring (built lazily by engine/pgmc.py when requested)
         self._pgmc = None
@@ -269,8 +320,10 @@ class Simulation:
                         with open(self._chain_file(k, f"{name}.dat"), "a") as f:
                             f.write(f"{t} {vals[k]:.12g}\n")
             elif a.name == "StoreAcceptance":
-                att = np.asarray(self.mc.attempted).sum(axis=0)
-                acc = np.asarray(self.mc.accepted).sum(axis=0)
+                # CBState keeps scalar per-chain counters, MCState per-move
+                # vectors; normalise to a [n_moves] array either way.
+                att = np.atleast_1d(np.asarray(self.mc.attempted).sum(axis=0))
+                acc = np.atleast_1d(np.asarray(self.mc.accepted).sum(axis=0))
                 for m in range(len(self.pool)):
                     rate = acc[m] / att[m] if att[m] > 0 else 0.0
                     with open(self._move_file(m, "acceptance.dat"), "a") as f:
@@ -307,10 +360,16 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def check_health(self):
-        """Surface sticky device-side error flags (cell-list overflow)."""
-        if self.mc.cell is not None and bool(np.any(np.asarray(self.mc.cell.overflow))):
+        """Surface sticky device-side error flags (bucket overflow)."""
+        cell = getattr(self.mc, "cell", None)
+        if cell is not None and bool(np.any(np.asarray(cell.overflow))):
             raise RuntimeError(
                 "cell-list bucket overflow: increase list_parameters.cap"
+            )
+        ovf = getattr(self.mc, "overflow", None)
+        if ovf is not None and bool(np.any(np.asarray(ovf))):
+            raise RuntimeError(
+                "checkerboard bucket overflow: increase list_parameters.cap"
             )
 
     def run(self):

@@ -217,19 +217,30 @@ def build_hyper_sweep_fn(
     grids = np.meshgrid(*[2 * np.arange(ak) for ak in A_dims], indexing="ij")
     base_coords = np.stack([g.reshape(-1) for g in grids], axis=-1)  # [A, d]
 
-    def hyper_sweep(cb: CBState, sigma) -> CBState:
+    def hyper_sweep(cb: CBState, sigma, color_key=None) -> CBState:
+        """One hyper-sweep. `color_key` drives the substep color sequence;
+        under vmap it MUST be passed unbatched (in_axes=None) and shared by
+        all chains — a per-chain color would turn the neighbour-block
+        dynamic_slice into a batched-index gather, which serialises on TPU
+        (measured 400x slowdown). Sharing the color sequence across chains
+        correlates only WHICH sublattice is active each substep, not the
+        per-chain picks/displacements/acceptances; each chain remains a valid
+        sampler. When None (single-chain use), it is derived from cb.key.
+        """
         dt = cb.system.position.dtype
         sigma = jnp.asarray(sigma, dt)
-        key, k_shift, k_scan = jax.random.split(cb.key, 3)
+        key, k_shift, k_scan, k_color_fallback = jax.random.split(cb.key, 4)
+        if color_key is None:
+            color_key = k_color_fallback
+        colors = jax.random.randint(color_key, (n_sub, d), 0, 2, dtype=jnp.int32)
         shift = jax.random.uniform(k_shift, (d,), dt) * cb.system.box
         payload0, idx0, ovf = rebin(cb.system, spec, shift)
 
-        def substep(carry, kk):
+        def substep(carry, scan_in):
+            kk, cbits = scan_in
             system, payload, idx = carry
             box = system.box
-            k_color, k_pick, k_delta, k_acc = jax.random.split(kk, 4)
-
-            cbits = jax.random.randint(k_color, (d,), 0, 2, dtype=jnp.int32)
+            k_pick, k_delta, k_acc = jax.random.split(kk, 3)
 
             # --- neighbour blocks: pad(wrap) + one dynamic slice + static
             # strided slices (no vector-index gathers) ----------------------
@@ -328,7 +339,7 @@ def build_hyper_sweep_fn(
 
         keys = jax.random.split(k_scan, n_sub)
         (system, payload, idx), (att_s, acc_s) = jax.lax.scan(
-            substep, (cb.system, payload0, idx0), keys
+            substep, (cb.system, payload0, idx0), (keys, colors)
         )
         return cb.replace(
             system=system,

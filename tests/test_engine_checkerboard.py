@@ -1,0 +1,79 @@
+"""Engine integration of the checkerboard (parallel_moves) backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particlesmc_tpu.core import energy as E
+from particlesmc_tpu.core.state import make_system
+from particlesmc_tpu.engine import Simulation, build_schedule
+from particlesmc_tpu.io.loader import Chains
+from particlesmc_tpu.models import tables as T
+from particlesmc_tpu.moves import base as MB
+
+
+def _chains(n=140, m=3, d=2, density=1.1920748468939728, temp=0.8, seed=4):
+    table = T.JBB(jnp.float64)
+    rng = np.random.default_rng(seed)
+    L = (n / density) ** (1 / d)
+    per_dim = int(np.ceil(n ** (1 / d)))
+    a = L / per_dim
+    grid = np.stack(
+        np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n]
+
+    sts = []
+    for k in range(m):
+        pos = grid + rng.uniform(-0.03 * a, 0.03 * a, (n, d))
+        species = (rng.random(n) < 0.3).astype(np.int64) + 1
+        st = make_system(pos, species, density, temp, dtype=jnp.float64)
+        sts.append(E.initialize_energy(st, table))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+    return Chains(states=batched, table=table, list_type="dense", n_chains=m)
+
+
+def test_parallel_moves_simulation(tmp_path):
+    chains = _chains()
+    pool = (MB.displacement(0.1),)
+    steps = 6
+    sim = Simulation(
+        chains,
+        [
+            {"algorithm": "Metropolis", "pool": pool, "seed": 5,
+             "parallel_moves": True},
+            {"algorithm": "StoreCallbacks", "callbacks": ("energy",),
+             "scheduler": build_schedule(steps, 0, 2)},
+            {"algorithm": "StoreAcceptance", "dependencies": ("Metropolis",),
+             "scheduler": build_schedule(steps, 0, 2)},
+        ],
+        steps,
+        path=str(tmp_path),
+        verbose=False,
+    )
+    sim.run()
+
+    e = np.loadtxt(tmp_path / "chains" / "1" / "energy.dat")
+    assert e.shape == (4, 2)
+    assert np.all(np.isfinite(e[:, 1]))
+    acc = np.loadtxt(tmp_path / "moves" / "1" / "acceptance.dat")
+    assert 0.0 < acc[-1, 1] < 1.0
+
+    # incremental energy booked by the hyper-sweeps matches a dense recompute
+    for k in range(chains.n_chains):
+        st = jax.tree.map(lambda x: x[k], sim.mc.system)
+        e_ref = float(
+            E.total_energy_dense(st.position, st.species, st.box, chains.table)
+        )
+        np.testing.assert_allclose(float(st.energy), e_ref, rtol=1e-9, atol=1e-7)
+
+
+def test_parallel_moves_rejects_unsupported():
+    chains = _chains(m=1)
+    pool = (MB.displacement(0.1), MB.discrete_swap(0, 1, 0.5))
+    with pytest.raises(ValueError, match="single Displacement"):
+        Simulation(
+            chains,
+            [{"algorithm": "Metropolis", "pool": pool, "parallel_moves": True}],
+            5,
+        )
