@@ -1,0 +1,210 @@
+"""Binary LJ mixture validation against published Monte Carlo energies.
+
+Physics validation gate (mirrors the reference workflow,
+examples/lj-mixture/run-validation.py there): run the full CLI stack over the
+published state points of Rowley & co. (doi:10.1023/A:1022614200488 — binary
+Lennard-Jones mixtures), with displacement + swap moves, add the standard
+long-range cutoff correction, and compare mean energies per particle.
+
+Usage:
+    python examples/lj-mixture/run-validation.py [--points 5] [--steps 1000]
+        [--n 1000] [--workdir ./tmp-ljmix]
+
+Writes calculated-energies.csv next to this script and prints a summary
+table. A correlation plot is saved when matplotlib is importable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, "..", ".."))
+
+# Lorentz-Berthelot-fitted pair parameters from the publication
+EPS = {(1, 1): 1.0, (1, 2): 1.1523, (2, 2): 1.3702}
+SIG = {(1, 1): 1.0, (1, 2): 1.0339, (2, 2): 1.0640}
+
+
+def write_config(n1: int, n2: int, L: float, path: str, rng) -> None:
+    """Cubic-lattice EXYZ start, species shuffled over sites."""
+    n = n1 + n2
+    per = round(n ** (1 / 3))
+    if per**3 != n:
+        raise SystemExit(f"N={n} must be a cube")
+    a = L / per
+    species = np.array([1] * n1 + [2] * n2)
+    rng.shuffle(species)
+    with open(path, "w") as f:
+        f.write(f"{n}\n")
+        f.write(
+            f'Lattice="{L:.6f} 0.0 0.0 0.0 {L:.6f} 0.0 0.0 0.0 {L:.6f}" '
+            "Properties=species:I:1:pos:R:3\n"
+        )
+        k = 0
+        for i in range(per):
+            for j in range(per):
+                for l in range(per):
+                    x = (i + 0.5) * a
+                    y = (j + 0.5) * a
+                    z = (l + 0.5) * a
+                    f.write(f"{species[k]} {x:.8f} {y:.8f} {z:.8f}\n")
+                    k += 1
+
+
+def write_params(workdir: str, cfg: str, T: float, rho: float, rcut: float, steps: int) -> str:
+    blocks = []
+    for (s1, s2), eps in EPS.items():
+        blocks.append(
+            f"""[model."{s1}-{s2}"]
+name = "LennardJones"
+epsilon = {eps}
+sigma = {SIG[(s1, s2)]}
+rcut = {rcut}
+shift_potential = false
+"""
+        )
+    toml = f"""
+[system]
+config = "{cfg}"
+temperature = {T}
+density = {rho}
+list_type = "LinkedList"
+
+[model]
+{os.linesep.join(blocks)}
+
+[simulation]
+type = "Metropolis"
+steps = {steps}
+seed = 42
+precision = "f32"
+output_path = "{workdir}"
+
+[[simulation.move]]
+action = "Displacement"
+probability = 0.9
+policy = "SimpleGaussian"
+parameters = {{sigma = 0.05}}
+
+[[simulation.move]]
+action = "DiscreteSwap"
+probability = 0.1
+policy = "DoubleUniform"
+parameters = {{species = [1, 2]}}
+
+[[simulation.output]]
+algorithm = "StoreCallbacks"
+callbacks = ["energy"]
+scheduler_params = {{linear_interval = 10}}
+
+[[simulation.output]]
+algorithm = "StoreAcceptance"
+dependencies = ["Metropolis"]
+scheduler_params = {{linear_interval = {steps}}}
+"""
+    path = os.path.join(workdir, "params.toml")
+    with open(path, "w") as f:
+        f.write(toml)
+    return path
+
+
+def lr_correction(n1: int, n2: int, L: float, rc: float) -> float:
+    """Standard homogeneous-fluid LJ tail correction (Gromacs convention)."""
+    V = L**3
+    out = 0.0
+    for (na, nb), key in (((n1, n1), (1, 1)), ((n2, n2), (2, 2))):
+        c6 = 4 * EPS[key] * SIG[key] ** 6
+        out += -2 / 3 * math.pi * na * (nb / V) * c6 / rc**3
+    c6 = 4 * EPS[(1, 2)] * SIG[(1, 2)] ** 6
+    out += -2 / 3 * math.pi * 2 * n1 * (n2 / V) * c6 / rc**3
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=None, help="limit state points")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
+    args = ap.parse_args()
+
+    from particlesmc_tpu.cli import main as cli_main
+
+    with open(os.path.join(HERE, "reference-data.csv")) as f:
+        rows = list(csv.DictReader(f))
+    if args.points:
+        rows = rows[: args.points]
+
+    rng = np.random.default_rng(7)
+    results = []
+    for i, row in enumerate(rows):
+        T, x, rho, u_ref = (float(row[k]) for k in ("t", "x", "density", "u"))
+        wd = os.path.join(args.workdir, str(i))
+        os.makedirs(wd, exist_ok=True)
+        L = (args.n / rho) ** (1 / 3)
+        n2 = round(args.n * x)
+        n1 = args.n - n2
+        cfg = os.path.join(wd, "config.exyz")
+        write_config(n1, n2, L, cfg, rng)
+        rc = 4.0
+        params = write_params(wd, cfg, T, rho, rc, args.steps)
+        assert cli_main([params]) == 0
+
+        e = np.loadtxt(os.path.join(wd, "chains", "1", "energy.dat"))
+        series = e[len(e) // 2 :, 1]
+        u = float(np.mean(series)) + lr_correction(n1, n2, L, rc) / args.n
+        err = float(np.std(series) / max(1, math.sqrt(len(series))))
+        acc = np.loadtxt(os.path.join(wd, "moves", "1", "acceptance.dat"), ndmin=2)
+        acc_sw = np.loadtxt(os.path.join(wd, "moves", "2", "acceptance.dat"), ndmin=2)
+        results.append(
+            dict(t=T, x=x, density=rho, u_ref=u_ref, u=u, u_err=err,
+                 acc_disp=float(acc[-1, 1]), acc_swap=float(acc_sw[-1, 1]))
+        )
+        print(
+            f"T={T:<7} x={x:<5} rho={rho:<5} u_ref={u_ref:9.4f} "
+            f"u={u:9.4f} ± {err:.4f}  acc(disp)={results[-1]['acc_disp']:.2f} "
+            f"acc(swap)={results[-1]['acc_swap']:.2f}",
+            flush=True,
+        )
+
+    out = os.path.join(HERE, "calculated-energies.csv")
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(results[0]))
+        w.writeheader()
+        w.writerows(results)
+    print(f"wrote {out}")
+
+    du = np.array([r["u"] - r["u_ref"] for r in results])
+    print(f"mean |u - u_ref| = {np.mean(np.abs(du)):.4f} over {len(results)} points")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ur = [r["u_ref"] for r in results]
+        uc = [r["u"] for r in results]
+        lim = [min(ur + uc) - 0.3, max(ur + uc) + 0.3]
+        plt.figure(figsize=(5, 5))
+        plt.plot(lim, lim, "k--", lw=1)
+        plt.scatter(ur, uc, c=[r["t"] for r in results], cmap="viridis")
+        plt.colorbar(label="T")
+        plt.xlabel("published u/N")
+        plt.ylabel("particlesmc-tpu u/N")
+        plt.tight_layout()
+        plt.savefig(os.path.join(HERE, "correlation-plot.png"), dpi=150)
+        print("wrote correlation-plot.png")
+    except Exception as exc:  # matplotlib genuinely optional
+        print(f"(no plot: {exc})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Ortho-terphenyl (3-site Kremer-Grest trimer) molecular workflow.
+
+Mirrors the reference's 4-stage study (examples/ortho-terphenyl there;
+publication doi:10.1103/4twk-33j7 — molecular motion at the experimental
+glass transition): lattice build → staged densification (0.2 → 1.2 by
+lastframe-restart runs) → per-temperature equilibration → production with
+MoleculeFlip swaps → self-intermediate scattering function F_s(k, t).
+
+All stages drive the real CLI; F_s(k,t) is computed in-repo (numpy) from the
+EXYZ trajectory, so there is no external analysis dependency.
+
+Usage (full study is long; the defaults are a scaled-down smoke version):
+    python examples/ortho-terphenyl/run-workflow.py \
+        --molecules 64 --dens-steps 40 --equil-steps 200 --prod-steps 400 \
+        --temperatures 2.0 1.4
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, "..", ".."))
+
+SIGMAS = [0.9, 1.0, 1.1]
+DENSITIES = [0.2, 0.24, 0.30, 0.36, 0.44, 0.53, 0.64, 0.77, 0.93, 1.12, 1.2]
+
+MODEL_BLOCKS = """
+[model."1-1"]
+name = "GeneralKG"
+epsilon = 1.0
+sigma = 0.9
+k = 37.03703703703703
+r0 = 1.35
+
+[model."1-2"]
+name = "GeneralKG"
+epsilon = 1.0
+sigma = 0.95
+k = 33.24099722991689
+r0 = 1.425
+
+[model."1-3"]
+name = "GeneralKG"
+epsilon = 1.0
+sigma = 1.0
+k = 30.0
+r0 = 1.5
+
+[model."2-2"]
+name = "GeneralKG"
+epsilon = 1.0
+sigma = 1.0
+k = 30.0
+r0 = 1.5
+
+[model."2-3"]
+name = "GeneralKG"
+epsilon = 1.0
+sigma = 1.05
+k = 27.2108843537415
+r0 = 1.575
+
+[model."3-3"]
+name = "GeneralKG"
+epsilon = 1.0
+sigma = 1.1
+k = 24.79338842975207
+r0 = 1.65
+"""
+
+
+def stage1_lattice(m: int, density: float, path: str) -> None:
+    """Planar trimers on a cubic molecular lattice, with the bond table."""
+    n = 3 * m
+    per = round(m ** (1 / 3))
+    if per**3 != m:
+        raise SystemExit(f"molecules={m} must be a cube")
+    L = (n / density) ** (1 / 3)
+    a = L / per
+    r_ab = (SIGMAS[0] + SIGMAS[1]) / 2
+    r_ac = (SIGMAS[0] + SIGMAS[2]) / 2
+    ca, sa = math.cos(60 / 180), math.sin(60 / 180)
+    with open(path, "w") as f:
+        f.write(f"{n}\n")
+        f.write(f"columns:molecule,species,position cell:{L},{L},{L}\n")
+        mol = 1
+        for i in range(per):
+            for j in range(per):
+                for k in range(per):
+                    x, y, z = i * a, j * a, k * a
+                    f.write(f"{mol} 1 {x} {y} {z}\n")
+                    f.write(f"{mol} 2 {x} {y + r_ab} {z}\n")
+                    f.write(f"{mol} 3 {x + r_ac * ca} {y + r_ac * sa} {z}\n")
+                    mol += 1
+        f.write(f"{3 * m}\n")
+        f.write("columns:bond\n")
+        for i in range(m):
+            A = 1 + 3 * i
+            f.write(f"{A} {A + 1}\n{A + 1} {A + 2}\n{A} {A + 2}\n")
+
+
+def params_toml(cfg, T, density, steps, out, traj_interval=None, flip=True):
+    moves = """
+[[simulation.move]]
+action = "Displacement"
+probability = 0.9
+policy = "SimpleGaussian"
+parameters = {sigma = 0.06}
+
+[[simulation.move]]
+action = "MoleculeFlip"
+probability = 0.1
+policy = "DoubleUniform"
+parameters = {}
+""" if flip else """
+[[simulation.move]]
+action = "Displacement"
+probability = 1.0
+policy = "SimpleGaussian"
+parameters = {sigma = 0.06}
+"""
+    traj = (
+        f"""
+[[simulation.output]]
+algorithm = "StoreTrajectories"
+scheduler_params = {{linear_interval = {traj_interval}}}
+fmt = "EXYZ"
+"""
+        if traj_interval
+        else ""
+    )
+    return f"""
+[system]
+config = "{cfg}"
+temperature = {T}
+density = {density}
+list_type = "LinkedList"
+
+[model]
+{MODEL_BLOCKS}
+
+[simulation]
+type = "Metropolis"
+steps = {steps}
+seed = 11
+precision = "f32"
+output_path = "{out}"
+{moves}
+[[simulation.output]]
+algorithm = "StoreCallbacks"
+callbacks = ["energy"]
+scheduler_params = {{linear_interval = {max(1, steps // 20)}}}
+{traj}
+[[simulation.output]]
+algorithm = "StoreLastFrames"
+scheduler_params = {{linear_interval = {steps}}}
+fmt = "XYZ"
+"""
+
+
+def run_cli(params_text: str, workdir: str) -> None:
+    from particlesmc_tpu.cli import main as cli_main
+
+    os.makedirs(workdir, exist_ok=True)
+    p = os.path.join(workdir, "params.toml")
+    with open(p, "w") as f:
+        f.write(params_text)
+    assert cli_main([p]) == 0
+
+
+def fskt(traj_path: str, k_mod: float, box: np.ndarray):
+    """Self-intermediate scattering function from an EXYZ trajectory,
+    isotropically averaged over lattice wavevectors with |k| ≈ k_mod."""
+    from particlesmc_tpu.io.formats import read_trajectory
+
+    frames = read_trajectory(traj_path)
+    pos = np.stack([fr["position"] for fr in frames])  # [T, N, 3]
+    steps = np.array([fr["step"] for fr in frames])
+
+    # wavevectors commensurate with the box near |k| = k_mod
+    base = 2 * np.pi / box[0]
+    nmax = int(np.ceil(k_mod / base)) + 2
+    ks = []
+    for ix in range(-nmax, nmax + 1):
+        for iy in range(-nmax, nmax + 1):
+            for iz in range(-nmax, nmax + 1):
+                k = base * np.array([ix, iy, iz])
+                if abs(np.linalg.norm(k) - k_mod) < 0.15 * k_mod and np.linalg.norm(k) > 0:
+                    ks.append(k)
+    ks = np.array(ks[:50])
+
+    out = []
+    disp = pos - pos[0]  # NOT folded — trajectories store unwrapped-in-cell positions
+    for t in range(len(pos)):
+        phase = disp[t] @ ks.T  # [N, K]
+        out.append(float(np.mean(np.cos(phase))))
+    return steps, np.array(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--molecules", type=int, default=64)
+    ap.add_argument("--dens-steps", type=int, default=40)
+    ap.add_argument("--equil-steps", type=int, default=200)
+    ap.add_argument("--prod-steps", type=int, default=400)
+    ap.add_argument("--temperatures", type=float, nargs="+", default=[2.0, 1.4])
+    ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
+    args = ap.parse_args()
+    wd = args.workdir
+
+    # ---- stage 1: lattice + staged densification --------------------------
+    s1 = os.path.join(wd, "1-densify")
+    os.makedirs(s1, exist_ok=True)
+    cfg = os.path.join(s1, "inputframe.xyz")
+    stage1_lattice(args.molecules, DENSITIES[0], cfg)
+    for rho in DENSITIES:
+        out = os.path.join(s1, f"rho-{rho}")
+        run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out), out)
+        shutil.copy(os.path.join(out, "chains", "1", "lastframe.xyz"), cfg)
+        print(f"[stage 1] density {rho} done", flush=True)
+
+    # ---- stage 2: equilibrate per temperature -----------------------------
+    lastframes = {}
+    for T in args.temperatures:
+        out = os.path.join(wd, "2-equilibrate", str(T))
+        run_cli(params_toml(cfg, T, 1.2, args.equil_steps, out), out)
+        lastframes[T] = os.path.join(out, "chains", "1", "lastframe.xyz")
+        print(f"[stage 2] T={T} equilibrated", flush=True)
+
+    # ---- stage 3: production with trajectories ----------------------------
+    trajs = {}
+    for T in args.temperatures:
+        out = os.path.join(wd, "3-production", str(T))
+        run_cli(
+            params_toml(
+                lastframes[T], T, 1.2, args.prod_steps, out,
+                traj_interval=max(1, args.prod_steps // 50),
+            ),
+            out,
+        )
+        trajs[T] = os.path.join(out, "chains", "1", "trajectory.exyz")
+        print(f"[stage 3] T={T} production done", flush=True)
+
+    # ---- stage 4: F_s(k, t) at k = 7.4 ------------------------------------
+    n = 3 * args.molecules
+    L = (n / 1.2) ** (1 / 3)
+    box = np.full(3, L)
+    import csv
+
+    out_csv = os.path.join(wd, "fskt.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["T", "step", "fskt"])
+        for T, traj in trajs.items():
+            steps, F = fskt(traj, 7.4, box)
+            for s, v in zip(steps, F):
+                w.writerow([T, s, v])
+            print(f"[stage 4] T={T}: F_s(k,t) from {F[0]:.3f} to {F[-1]:.3f}", flush=True)
+    print(f"wrote {out_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,8 +20,11 @@ def energy(sim) -> np.ndarray:
 
 def acceptance(sim) -> np.ndarray:
     """Overall acceptance rate per chain (Arianna callback_acceptance)."""
-    att = np.asarray(sim.mc.attempted).sum(axis=-1)
-    acc = np.asarray(sim.mc.accepted).sum(axis=-1)
+    att = np.asarray(sim.mc.attempted)
+    acc = np.asarray(sim.mc.accepted)
+    if att.ndim > 1:  # MCState keeps per-move counters; CBState scalars
+        att = att.sum(axis=-1)
+        acc = acc.sum(axis=-1)
     with np.errstate(invalid="ignore"):
         return np.where(att > 0, acc / np.maximum(att, 1), 0.0)
 

@@ -252,6 +252,53 @@ def read_configuration(path: str, frame: int = 0) -> Dict:
         return _READERS[fmt](f.read(), frame)
 
 
+def read_trajectory(path: str) -> List[Dict]:
+    """Parse every frame of an appended XYZ/EXYZ trajectory file.
+
+    Trajectory frames carry no bond sections (the reference stores bonds only
+    in last-frames, src/IO/IO.jl:383-391), so bonds are not expected here.
+    Each returned dict additionally has "step" extracted from the frame
+    header (`step:` in the XYZ dialect, `Time=` in EXYZ).
+    """
+    fmt = format_for_path(path)
+    if fmt not in ("xyz", "exyz"):
+        raise FormatError("read_trajectory supports the xyz/exyz dialects")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    frames: List[Dict] = []
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        N = int(lines[i].strip())
+        header = lines[i + 1]
+        if fmt == "xyz":
+            m = re.search(r"columns:(\S+)", header)
+            cm = re.search(r"cell:(\S+)", header)
+            box = np.array([float(v) for v in cm.group(1).split(",")])
+            info = _parse_columns_xyz(m.group(1), len(box))
+            sm = re.search(r"step:(\S+)", header)
+            step = int(sm.group(1)) if sm else len(frames)
+        else:
+            lm = re.search(r'Lattice="(.*?)"', header)
+            lat = np.array([float(v) for v in lm.group(1).split()]).reshape(3, 3)
+            cm = re.search(r"Properties=(\S*)", header)
+            info = _parse_columns_exyz(cm.group(1))
+            box = lat.diagonal()[: info["pos"][0]].copy()
+            sm = re.search(r"Time=(\S+)", header)
+            step = int(float(sm.group(1))) if sm else len(frames)
+        species, molecule, position = _read_frame_lines(lines, i + 2, info, N)
+        fr = dict(
+            N=N, d=len(box), box=box, species=species, position=position, step=step
+        )
+        if molecule is not None:
+            fr["molecule"] = molecule
+        frames.append(fr)
+        i += N + 2
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # Writers
 # ---------------------------------------------------------------------------

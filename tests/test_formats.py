@@ -127,6 +127,28 @@ def test_multiframe_trajectory():
     np.testing.assert_allclose(f2["position"], fx["position"] + 2, atol=1e-6)
 
 
+def test_read_trajectory_all_frames(tmp_path):
+    fx = load_fixture("config_0.npz")
+    for fmt, ext in (("xyz", ".xyz"), ("exyz", ".exyz")):
+        p = tmp_path / f"traj{ext}"
+        frames = "".join(
+            F.write_frame(
+                fmt,
+                species=fx["species"],
+                position=fx["position"] + t,
+                box=fx["box"],
+                step=5 * t,
+                rho=1.0,
+                T=1.0,
+            )
+            for t in range(4)
+        )
+        p.write_text(frames)
+        out = F.read_trajectory(str(p))
+        assert [fr["step"] for fr in out] == [0, 5, 10, 15]
+        np.testing.assert_allclose(out[3]["position"], fx["position"] + 3, atol=1e-5)
+
+
 def test_lammps_bonds_unsupported():
     with pytest.raises(F.FormatError):
         F.write_lammps_frame([1, 2], np.zeros((2, 3)), np.ones(3), 0, bond_pairs=[(1, 2)])
