@@ -50,6 +50,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:  # sitecustomize-registered plugins may override the env var
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -98,7 +98,15 @@ def _build_outputs(output_cfgs, steps, burn):
 
 def run_params(params: Dict[str, Any]):
     """Assemble and run a Simulation from a parsed TOML dict."""
+    import os
+
     import jax
+
+    # Honour JAX_PLATFORMS even on hosts whose sitecustomize registers an
+    # experimental PJRT plugin and overwrites the platform list at import.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     system = params["system"]
     sim_cfg = params["simulation"]

@@ -18,7 +18,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.potentials import bond_potential, pair_potential
+from ..models.potentials import bond_potential, bond_virial, pair_potential, pair_virial
 from ..models.tables import PairTable, gather_pair
 from .geometry import dist2
 
@@ -239,6 +239,49 @@ def per_particle_energies(position, species, box, table, bonds=None, cand_fn=Non
             return particle_energy(k, cand_fn(k), position, species, box, table, bonds)
 
     return jax.vmap(one)(jnp.arange(n, dtype=jnp.int32))
+
+
+def particle_virial_nogather(k, position, species, box, table: PairTable, bonds=None):
+    """Virial contribution of particle k: sum_j w(r_kj) (gather-free dense)."""
+    n = position.shape[-2]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    xk = jax.lax.dynamic_index_in_dim(position, k, axis=0, keepdims=False)
+    sk = jax.lax.dynamic_index_in_dim(species, k, axis=0, keepdims=False)
+    valid = iota != k
+    if bonds is not None:
+        bonds_k = jax.lax.dynamic_index_in_dim(bonds, k, axis=0, keepdims=False)
+        valid = valid & ~jnp.any(iota[:, None] == bonds_k[None, :], axis=-1)
+    r2 = dist2(position, xk, box)
+    p = select_pair_params(table, sk, species)
+    w = pair_virial(r2, p)
+    out = jnp.sum(jnp.where(valid, w, jnp.zeros_like(w)))
+    if bonds is not None:
+        bvalid = bonds_k >= 0
+        bk = jnp.where(bvalid, bonds_k, 0)
+        r2b = dist2(position[bk], xk, box)
+        pb = gather_pair(table, sk, species[bk])
+        wb = bond_virial(r2b, pb)
+        out = out + jnp.sum(jnp.where(bvalid, wb, jnp.zeros_like(wb)))
+    return out
+
+
+def total_virial_dense(position, species, box, table, bonds=None, batch_size: int = 256):
+    """W = sum_{i<j} w_ij computed as sum_k W_k / 2 (dense, chunked)."""
+    n = position.shape[-2]
+
+    def one(k):
+        return particle_virial_nogather(k, position, species, box, table, bonds)
+
+    w = jax.lax.map(one, jnp.arange(n, dtype=jnp.int32), batch_size=min(batch_size, n))
+    return jnp.sum(w) / 2
+
+
+def pressure(position, species, box, table, density, temperature, bonds=None):
+    """Virial pressure P = rho T + W / (d V)."""
+    d = position.shape[-1]
+    vol = jnp.prod(box)
+    w = total_virial_dense(position, species, box, table, bonds)
+    return density * temperature + w / (d * vol)
 
 
 def initialize_energy(state, table: PairTable, check: bool = True):

@@ -54,9 +54,30 @@ def chain_correlation(sim) -> np.ndarray:
     return out
 
 
+def pressure(sim) -> np.ndarray:
+    """Virial pressure per chain, P = rho T + W/(d V) (the pressure
+    observable the reference's architecture docs advertise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import energy as E
+
+    st = sim.mc.system
+    table = sim.chains.table
+
+    @jax.jit
+    def one(s):
+        return E.pressure(
+            s.position, s.species, s.box, table, s.density, s.temperature, s.bonds
+        )
+
+    return np.asarray(jax.vmap(one)(st))
+
+
 CALLBACK_REGISTRY = {
     "energy": energy,
     "acceptance": acceptance,
+    "pressure": pressure,
     "callback_energy": energy,
     "callback_acceptance": acceptance,
     "chain_correlation": chain_correlation,

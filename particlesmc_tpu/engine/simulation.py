@@ -372,11 +372,35 @@ class Simulation:
                 "checkerboard bucket overflow: increase list_parameters.cap"
             )
 
+    def write_summary(self):
+        """Human-readable simulation summary in the output path (the
+        reference's Arianna.write_system contract, src/IO/IO.jl:17-25)."""
+        st = self.chains.states
+        mode = "checkerboard" if self.parallel_moves else (
+            "cell" if self.config.cell_spec else "dense"
+        )
+        lines = [
+            f"\tNumber of particles: {st.position.shape[1]}",
+            f"\tDimensions: {st.position.shape[2]}",
+            f"\tCell: {np.asarray(st.box[0]).tolist()}",
+            f"\tDensity: {float(np.asarray(st.density)[0])}",
+            f"\tTemperature: {np.asarray(st.temperature).tolist()}",
+            f"\tNeighbour mode: {mode}",
+            f"\tChains: {self.chains.n_chains}",
+            f"\tSteps: {self.steps} (sweepstep {self.sweepstep})",
+            f"\tMoves: {[m.action for m in self.pool]}",
+        ]
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "simulation.log"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return lines
+
     def run(self):
         """Execute `steps` sweeps, firing scheduled algorithms (Arianna run!,
         SURVEY.md §1.2)."""
         if not self._writers_ready:
             self._prepare_dirs()
+        self.write_summary()
         if self.verbose:
             st = self.chains.states
             print(f"\tNumber of particles: {st.position.shape[1]}")

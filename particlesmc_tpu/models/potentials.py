@@ -97,6 +97,53 @@ def pair_potential(r2, p):
     return jnp.where(in_range & (kind != KIND_NONE), u, jnp.zeros_like(u))
 
 
+def pair_virial(r2, p):
+    """Pair virial w = -2 r^2 dU/dr^2 = r·f(r) for the non-bonded kinds.
+
+    Feeds the pressure observable P = rho T + W/(d V), W = sum_{i<j} w_ij
+    (an extension over the reference, whose docs advertise a pressure
+    callback — docs/src/man/architecture.md — but whose code ships only
+    energy/chain_correlation). Shifts don't contribute (constant in r).
+    """
+    dt = r2.dtype if hasattr(r2, "dtype") else jnp.result_type(r2)
+    r2s = jnp.maximum(r2, jnp.asarray(1e-12, dt))
+    x = p.sigma2 / r2s
+    x3 = x * x * x
+    w_lj = p.eps4 * (12.0 * x3 * x3 - 6.0 * x3)
+    w_ipl = p.eps4 * p.ipl_n * _int_pow(jnp.sqrt(x), p.ipl_n)
+    w_smooth = w_lj - 2.0 * r2s * p.eps4 * (p.c2s2 + 2.0 * r2s * p.c4s4)
+
+    kind = p.kind
+    w = jnp.where(
+        kind == KIND_INVERSE_POWER,
+        w_ipl,
+        jnp.where(
+            kind == KIND_LENNARD_JONES,
+            w_lj,
+            jnp.where(kind == KIND_SMOOTH_LJ, w_smooth, jnp.zeros_like(w_lj)),
+        ),
+    )
+    in_range = r2 <= p.rcut2
+    return jnp.where(in_range & (kind != KIND_NONE), w, jnp.zeros_like(w))
+
+
+def bond_virial(r2, p):
+    """Bond virial: FENE spring + shifted-LJ core, w = -2 r^2 dU/dr^2."""
+    dt = r2.dtype if hasattr(r2, "dtype") else jnp.result_type(r2)
+    r2s = jnp.maximum(r2, jnp.asarray(1e-12, dt))
+    r02s = jnp.where(p.r02 > 0, p.r02, jnp.ones_like(p.r02))
+    denom = jnp.maximum(r02s - r2s, jnp.asarray(1e-12, dt))
+    w_fene = 2.0 * r2s * p.kr02 / denom
+    w_fene = jnp.where(r2 <= p.r02, w_fene, jnp.zeros_like(w_fene))
+
+    x = p.sigma2b / r2s
+    x3 = x * x * x
+    w_lj = p.eps4b * (12.0 * x3 * x3 - 6.0 * x3)
+    w_lj = jnp.where(r2 <= p.rcut2b, w_lj, jnp.zeros_like(w_lj))
+
+    return jnp.where(p.has_bond > 0, w_fene + w_lj, jnp.zeros_like(r2s))
+
+
 def bond_potential(r2, p):
     """Bonded interaction: FENE spring + shifted LJ core.
 

@@ -16,6 +16,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` passthrough.
+
+    On TPU pods the coordinator/process env is auto-detected; kwargs
+    (coordinator_address, num_processes, process_id) override for manual
+    setups. After this, `jax.devices()` spans all hosts and the same
+    `make_mesh()`/`shard_chains()` calls scale across DCN. The reference has
+    no multi-host path at all (SURVEY.md §2.10) — this is the TPU-native
+    replacement for its single-process thread fan-out.
+    """
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
     """1-D mesh over available devices (or the first n)."""
     devs = jax.devices()
