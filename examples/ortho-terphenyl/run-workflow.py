@@ -176,32 +176,14 @@ def run_cli(params_text: str, workdir: str) -> None:
 
 
 def fskt(traj_path: str, k_mod: float, box: np.ndarray):
-    """Self-intermediate scattering function from an EXYZ trajectory,
-    isotropically averaged over lattice wavevectors with |k| ≈ k_mod."""
+    """F_s(k, t) from an EXYZ trajectory via the library analysis module."""
+    from particlesmc_tpu.analysis import self_intermediate_scattering
     from particlesmc_tpu.io.formats import read_trajectory
 
     frames = read_trajectory(traj_path)
     pos = np.stack([fr["position"] for fr in frames])  # [T, N, 3]
     steps = np.array([fr["step"] for fr in frames])
-
-    # wavevectors commensurate with the box near |k| = k_mod
-    base = 2 * np.pi / box[0]
-    nmax = int(np.ceil(k_mod / base)) + 2
-    ks = []
-    for ix in range(-nmax, nmax + 1):
-        for iy in range(-nmax, nmax + 1):
-            for iz in range(-nmax, nmax + 1):
-                k = base * np.array([ix, iy, iz])
-                if abs(np.linalg.norm(k) - k_mod) < 0.15 * k_mod and np.linalg.norm(k) > 0:
-                    ks.append(k)
-    ks = np.array(ks[:50])
-
-    out = []
-    disp = pos - pos[0]  # NOT folded — trajectories store unwrapped-in-cell positions
-    for t in range(len(pos)):
-        phase = disp[t] @ ks.T  # [N, K]
-        out.append(float(np.mean(np.cos(phase))))
-    return steps, np.array(out)
+    return steps, self_intermediate_scattering(pos, box, k_mod)
 
 
 def main():
