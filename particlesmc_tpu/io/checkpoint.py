@@ -91,3 +91,54 @@ def load_checkpoint(path: str, config, dtype=None) -> Tuple["MCState", tuple, in
         for m, names in enumerate(meta["param_names"])
     )
     return mc, pool_params, int(z["step"])
+
+
+def load_checkpoint_checkerboard(path: str, spec, dtype=None):
+    """Rebuild a (batched) CBState + pool params + step from a checkpoint
+    written while running the checkerboard backend. The payload grid and
+    shift are derived state (a fresh shift is drawn at the next hyper-sweep
+    anyway), so they are rebuilt with rebin rather than stored."""
+    from ..core.state import SystemState
+    from ..moves.checkerboard import CBState, rebin
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta_json"]).decode())
+    dt = dtype or z["position"].dtype
+
+    st = SystemState(
+        position=jnp.asarray(z["position"], dt),
+        species=jnp.asarray(z["species"], jnp.int32),
+        box=jnp.asarray(z["box"], dt),
+        temperature=jnp.asarray(z["temperature"], dt),
+        density=jnp.asarray(z["density"], dt),
+        energy=jnp.asarray(z["energy"], dt),
+        molecule=None,
+        bonds=None,
+    )
+    d = st.position.shape[-1]
+
+    def build(sys_one):
+        shift = jnp.zeros((d,), dt)
+        payload, idx, ovf = rebin(sys_one, spec, shift)
+        return payload, idx, ovf, shift
+
+    cdt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    if st.position.ndim == 3:
+        payload, idx, ovf, shift = jax.vmap(build)(st)
+    else:
+        payload, idx, ovf, shift = build(st)
+    cb = CBState(
+        system=st,
+        key=jnp.asarray(z["key"]),
+        shift=shift,
+        payload=payload,
+        idx=idx,
+        attempted=jnp.asarray(z["attempted"], cdt),
+        accepted=jnp.asarray(z["accepted"], cdt),
+        overflow=ovf,
+    )
+    pool_params = tuple(
+        {k: jnp.asarray(z[f"pool_{m}_{k}"]) for k in names}
+        for m, names in enumerate(meta["param_names"])
+    )
+    return cb, pool_params, int(z["step"])

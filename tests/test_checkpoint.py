@@ -69,6 +69,42 @@ def test_checkpoint_exact_resume(tmp_path):
     )
 
 
+def test_checkpoint_checkerboard_exact_resume(tmp_path):
+    """Exact resume for the checkerboard backend: same color stream + key
+    state -> bitwise-identical trajectories after reload."""
+    from particlesmc_tpu.io.checkpoint import load_checkpoint_checkerboard
+    from particlesmc_tpu.moves import checkerboard as CB
+
+    # bigger box so a checkerboard grid exists (>= 4 cells/dim at cutoff)
+    batch, table = _batch(m=2, n=140)
+    spec = CB.make_cb_spec(
+        np.asarray(batch.box[0]), table.max_cutoff, batch.position.shape[1]
+    )
+    assert spec is not None
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    cb0 = jax.vmap(lambda s, k: CB.init_cb_state(s, spec, k))(batch, keys)
+    hs = CB.build_hyper_sweep_fn(spec, table, batch.position.shape[1])
+    step = jax.jit(jax.vmap(lambda m, ck: hs(m, 0.1, ck), in_axes=(0, None)))
+    cks = [jax.random.PRNGKey(100 + i) for i in range(4)]
+
+    cb = cb0
+    for i in range(4):
+        cb = step(cb, cks[i])
+    ref_pos = np.asarray(cb.system.position)
+
+    cb = cb0
+    for i in range(2):
+        cb = step(cb, cks[i])
+    params = ({"sigma": jnp.asarray(0.1)},)
+    ckpt = tmp_path / "cb.npz"
+    save_checkpoint(str(ckpt), cb, params, step=2)
+    cb2, params2, t = load_checkpoint_checkerboard(str(ckpt), spec)
+    assert t == 2 and float(params2[0]["sigma"]) == 0.1
+    for i in range(2, 4):
+        cb2 = step(cb2, cks[i])
+    np.testing.assert_array_equal(ref_pos, np.asarray(cb2.system.position))
+
+
 def test_checkpoint_roundtrips_params(tmp_path):
     batch, table = _batch()
     pool = (MB.displacement(0.1), MB.discrete_swap(0, 1, 0.3, policy="energy_bias", theta1=0.2))
