@@ -204,16 +204,25 @@ def _pair_params(table: PairTable, sa, sb):
 
 
 def build_hyper_sweep_fn(
-    spec: CBSpec, table: PairTable, n: int, sweepstep: Optional[int] = None
+    spec: CBSpec,
+    table: PairTable,
+    n: int,
+    sweepstep: Optional[int] = None,
+    use_pallas: bool = False,
 ):
     """Returns hyper_sweep(cb_state, sigma) -> cb_state: ~sweepstep attempted
-    moves (default n) as ceil(sweepstep / n_active) checkerboard substeps."""
+    moves (default n) as ceil(sweepstep / n_active) checkerboard substeps.
+
+    use_pallas fuses the ΔE evaluation into one VMEM-resident pallas kernel
+    (moves/pallas_kernels.py); off-TPU it runs in interpreter mode, so keep
+    it False for CPU production runs."""
     d = spec.d
     A_dims = spec.active_dims
     A = spec.n_active
     cap = spec.cap
     n_sub = max(1, -(-int(sweepstep or n) // A))
     offsets = list(itertools.product((-1, 0, 1), repeat=d))
+    center_idx = offsets.index((0,) * d)
     grids = np.meshgrid(*[2 * np.arange(ak) for ak in A_dims], indexing="ij")
     base_coords = np.stack([g.reshape(-1) for g in grids], axis=-1)  # [A, d]
 
@@ -294,19 +303,46 @@ def build_hyper_sweep_fn(
             in_cell = jnp.all(_cell_vec(x_new, shift, box, spec) == coords, axis=-1)
 
             # --- ΔE over the 3^d neighbour blocks ---------------------------
-            de = jnp.zeros((A,), dt)
-            for t in offsets:
-                nb = center if all(v == 0 for v in t) else nb_slice(t)
-                pos_nb = nb[..., :d]
-                sp_nb = nb[..., d].astype(jnp.int32)
-                valid = sp_nb >= 0
-                if all(v == 0 for v in t):
-                    valid = valid & ~pick  # exclude self
-                p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0))
-                r2_old = dist2(pos_nb, x_a[:, None, :], box)
-                r2_new = dist2(pos_nb, x_new[:, None, :], box)
-                du = pair_potential(r2_new, p) - pair_potential(r2_old, p)
-                de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
+            if use_pallas:
+                from . import pallas_kernels as PK
+
+                nb_all = jnp.stack(
+                    [center if i == center_idx else nb_slice(t)
+                     for i, t in enumerate(offsets)],
+                    axis=1,
+                )  # [A, 27, cap, d+1]
+                K = len(offsets) * cap
+                planes = jnp.moveaxis(nb_all.reshape(A, K, d + 1), -1, 0)
+                sp_pl = planes[d]
+                self_m = jnp.zeros((A, len(offsets), cap), bool)
+                self_m = self_m.at[:, center_idx, :].set(pick)
+                valid_m = (sp_pl >= 0) & ~self_m.reshape(A, K)
+                act = jnp.concatenate(
+                    [x_a, x_new, s_a.astype(dt)[:, None], jnp.zeros((A, 7 - 2 * d), dt)],
+                    axis=1,
+                )
+                de = PK.delta_e_planes(
+                    planes,
+                    act,
+                    valid_m.astype(dt),
+                    PK.pack_table(table, dt),
+                    box[None, :],
+                    table.n_species,
+                )[:, 0]
+            else:
+                de = jnp.zeros((A,), dt)
+                for t in offsets:
+                    nb = center if all(v == 0 for v in t) else nb_slice(t)
+                    pos_nb = nb[..., :d]
+                    sp_nb = nb[..., d].astype(jnp.int32)
+                    valid = sp_nb >= 0
+                    if all(v == 0 for v in t):
+                        valid = valid & ~pick  # exclude self
+                    p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0))
+                    r2_old = dist2(pos_nb, x_a[:, None, :], box)
+                    r2_new = dist2(pos_nb, x_new[:, None, :], box)
+                    du = pair_potential(r2_new, p) - pair_potential(r2_old, p)
+                    de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
 
             # --- Metropolis accept (overlap → de=+inf → reject) -------------
             u = jax.random.uniform(k_acc, (A,), dt, minval=jnp.finfo(dt).tiny)
