@@ -418,20 +418,30 @@ def build_delta_e_fn(config: KernelConfig, n: int) -> Callable:
 
         def delta_e(st: SystemState, cell, prop: Proposal):
             dt = st.position.dtype
-            ov = E.Override(
-                i=prop.i, j=prop.j, pos_i=prop.pos_i, sp_i=prop.sp_i, sp_j=prop.sp_j
+            mi = jnp.asarray(-1, jnp.int32)
+            z = jnp.asarray(0, jnp.int32)
+            null_pos = jnp.zeros_like(prop.pos_i)
+            # all four evaluations as ONE [4, N] vmapped pass (4x fewer
+            # kernel dispatches per scan step than sequential [N] passes):
+            # rows (k, override) = (i, null), (j, null), (i, ov), (j, ov)
+            ks = jnp.stack([prop.i, prop.j, prop.i, prop.j])
+            ovs = E.Override(
+                i=jnp.stack([mi, mi, prop.i, prop.i]),
+                j=jnp.stack([mi, mi, prop.j, prop.j]),
+                pos_i=jnp.stack([null_pos, null_pos, prop.pos_i, prop.pos_i]),
+                sp_i=jnp.stack([z, z, prop.sp_i, prop.sp_i]),
+                sp_j=jnp.stack([z, z, prop.sp_j, prop.sp_j]),
             )
-            pe = partial(
-                E.particle_energy_nogather,
-                position=st.position,
-                species=st.species,
-                box=st.box,
-                table=table,
-                bonds=st.bonds,
-            )
+
+            def one(k, ov):
+                return E.particle_energy_nogather(
+                    k, st.position, st.species, st.box, table, st.bonds, ov
+                )
+
+            e4 = jax.vmap(one)(ks, ovs)
             pair_mask = (prop.j != prop.i).astype(dt)
-            e1 = pe(prop.i) + pair_mask * pe(prop.j)
-            e2 = pe(prop.i, ov=ov) + pair_mask * pe(prop.j, ov=ov)
+            e1 = e4[0] + pair_mask * e4[1]
+            e2 = e4[2] + pair_mask * e4[3]
             return e1, e2
 
         return delta_e
