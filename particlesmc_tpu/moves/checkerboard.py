@@ -101,7 +101,7 @@ class CBState:
     system: SystemState
     key: jax.Array
     shift: jax.Array  # [d] grid origin offset
-    payload: jax.Array  # [nc_total, cap, d+1]: positions + species (as float)
+    payload: jax.Array  # [nc_total, cap, d+2]: position, species, id (as floats)
     idx: jax.Array  # [nc_total, cap] i32 particle ids, -1 padded
     attempted: jax.Array  # displacement-move counters
     accepted: jax.Array
@@ -135,10 +135,19 @@ def rebin(system: SystemState, spec: CBSpec, shift):
     dt = system.position.dtype
     idx = jnp.full((spec.total, spec.cap), -1, jnp.int32)
     idx = idx.at[sorted_cell, rank].set(order, mode="drop")
-    payload = jnp.zeros((spec.total, spec.cap, d + 1), dt)
+    # payload lanes: position[0:d], species (d), particle id (d+1) — the id
+    # rides as an exact small float so ONE pad+slice pipeline serves the
+    # whole substep (ids < 2^24 are exact in f32)
+    payload = jnp.zeros((spec.total, spec.cap, d + 2), dt)
     payload = payload.at[..., d].set(-1.0)  # species lane -1 == empty slot
+    payload = payload.at[..., d + 1].set(-1.0)
     rows = jnp.concatenate(
-        [system.position[order], system.species[order][:, None].astype(dt)], axis=-1
+        [
+            system.position[order],
+            system.species[order][:, None].astype(dt),
+            order[:, None].astype(dt),
+        ],
+        axis=-1,
     )
     payload = payload.at[sorted_cell, rank].set(rows, mode="drop")
     count = jnp.zeros((spec.total,), jnp.int32).at[cell].add(1)
@@ -253,33 +262,24 @@ def build_hyper_sweep_fn(
 
             # --- neighbour blocks: pad(wrap) + one dynamic slice + static
             # strided slices (no vector-index gathers) ----------------------
-            grid = payload.reshape(spec.ncells + (cap, d + 1))
+            grid = payload.reshape(spec.ncells + (cap, d + 2))
             padded = jnp.pad(grid, [(1, 1)] * d + [(0, 0), (0, 0)], mode="wrap")
             zero = jnp.asarray(0, jnp.int32)
             start = tuple(cbits[k] for k in range(d)) + (zero, zero)
-            sizes = tuple(nk + 1 for nk in spec.ncells) + (cap, d + 1)
+            sizes = tuple(nk + 1 for nk in spec.ncells) + (cap, d + 2)
             block = jax.lax.dynamic_slice(padded, start, sizes)
 
             def nb_slice(t):
                 sl = tuple(
                     slice(1 + t[k], 1 + t[k] + 2 * A_dims[k] - 1, 2) for k in range(d)
                 )
-                return block[sl].reshape(A, cap, d + 1)
+                return block[sl].reshape(A, cap, d + 2)
 
             center = nb_slice((0,) * d)
             pos_c = center[..., :d]
             sp_c = center[..., d].astype(jnp.int32)  # -1 == empty
 
-            idx_grid = idx.reshape(spec.ncells + (cap,))
-            idx_padded = jnp.pad(idx_grid, [(1, 1)] * d + [(0, 0)], mode="wrap")
-            idx_block = jax.lax.dynamic_slice(
-                idx_padded,
-                tuple(cbits[k] for k in range(d)) + (zero,),
-                tuple(nk + 1 for nk in spec.ncells) + (cap,),
-            )
-            idx_c = idx_block[
-                tuple(slice(1, 1 + 2 * A_dims[k] - 1, 2) for k in range(d))
-            ].reshape(A, cap)
+            idx_c = center[..., d + 1].astype(jnp.int32)  # id lane
 
             coords = jnp.asarray(base_coords, jnp.int32) + cbits[None, :]  # [A, d]
             flat = coords[:, 0]
@@ -310,9 +310,10 @@ def build_hyper_sweep_fn(
                     [center if i == center_idx else nb_slice(t)
                      for i, t in enumerate(offsets)],
                     axis=1,
-                )  # [A, 27, cap, d+1]
+                )  # [A, 27, cap, d+2]
                 K = len(offsets) * cap
-                planes = jnp.moveaxis(nb_all.reshape(A, K, d + 1), -1, 0)
+                nb_flat = nb_all.reshape(A, K, d + 2)
+                planes = jnp.moveaxis(nb_flat[..., : d + 1], -1, 0)
                 sp_pl = planes[d]
                 self_m = jnp.zeros((A, len(offsets), cap), bool)
                 self_m = self_m.at[:, center_idx, :].set(pick)
@@ -359,9 +360,9 @@ def build_hyper_sweep_fn(
             f_a = flat * cap + r
             iota_f = jnp.arange(spec.total * cap, dtype=jnp.int32)
             onehot_f = (iota_f[None, :] == f_a[:, None]).astype(dt)  # [A, F]
-            dpay = jnp.concatenate([dxa, jnp.zeros((A, 1), dt)], axis=-1)
+            dpay = jnp.concatenate([dxa, jnp.zeros((A, 2), dt)], axis=-1)
             payload = payload + jnp.einsum("af,ax->fx", onehot_f, dpay).reshape(
-                spec.total, cap, d + 1
+                spec.total, cap, d + 2
             )
 
             system = system.replace(
