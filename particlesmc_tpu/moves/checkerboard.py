@@ -253,12 +253,17 @@ def build_hyper_sweep_fn(
         colors = jax.random.randint(color_key, (n_sub, d), 0, 2, dtype=jnp.int32)
         shift = jax.random.uniform(k_shift, (d,), dt) * cb.system.box
         payload0, idx0, ovf = rebin(cb.system, spec, shift)
+        # all per-substep randomness pregenerated in 3 bulk draws — keeps
+        # ~6 threefry kernels per substep out of the scan body
+        k_pick, k_delta, k_acc = jax.random.split(k_scan, 3)
+        u_pick = jax.random.uniform(k_pick, (n_sub, A), dt, maxval=1.0 - 1e-7)
+        deltas = jax.random.normal(k_delta, (n_sub, A, d), dt)
+        u_acc = jax.random.uniform(k_acc, (n_sub, A), dt, minval=jnp.finfo(dt).tiny)
 
         def substep(carry, scan_in):
-            kk, cbits = scan_in
+            cbits, u_pick_s, delta_s, u_acc_s = scan_in
             system, payload, idx = carry
             box = system.box
-            k_pick, k_delta, k_acc = jax.random.split(kk, 3)
 
             # --- neighbour blocks: pad(wrap) + one dynamic slice + static
             # strided slices (no vector-index gathers) ----------------------
@@ -290,7 +295,8 @@ def build_hyper_sweep_fn(
             occupied = occ > 0
 
             # --- pick one particle per occupied active cell -----------------
-            r = jax.random.randint(k_pick, (A,), 0, jnp.maximum(occ, 1))
+            # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
+            r = jnp.floor(u_pick_s * occ.astype(dt)).astype(jnp.int32)
             slot_iota = jnp.arange(cap, dtype=jnp.int32)
             pick = slot_iota[None, :] == r[:, None]  # [A, cap]
             x_a = jnp.sum(jnp.where(pick[..., None], pos_c, 0.0), axis=1)
@@ -298,7 +304,7 @@ def build_hyper_sweep_fn(
             id_a = jnp.sum(jnp.where(pick, idx_c, 0), axis=1)
 
             # --- proposal: Gaussian, auto-reject on cell exit ---------------
-            delta = sigma * jax.random.normal(k_delta, (A, d), dt)
+            delta = sigma * delta_s
             x_new = x_a + delta
             in_cell = jnp.all(_cell_vec(x_new, shift, box, spec) == coords, axis=-1)
 
@@ -346,7 +352,7 @@ def build_hyper_sweep_fn(
                     de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
 
             # --- Metropolis accept (overlap → de=+inf → reject) -------------
-            u = jax.random.uniform(k_acc, (A,), dt, minval=jnp.finfo(dt).tiny)
+            u = u_acc_s
             accept = (jnp.log(u) < -de / system.temperature) & in_cell & occupied
             booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
 
@@ -374,9 +380,8 @@ def build_hyper_sweep_fn(
             )
             return (system, payload, idx), stats
 
-        keys = jax.random.split(k_scan, n_sub)
         (system, payload, idx), (att_s, acc_s) = jax.lax.scan(
-            substep, (cb.system, payload0, idx0), (keys, colors)
+            substep, (cb.system, payload0, idx0), (colors, u_pick, deltas, u_acc)
         )
         return cb.replace(
             system=system,
