@@ -218,9 +218,17 @@ def build_hyper_sweep_fn(
     n: int,
     sweepstep: Optional[int] = None,
     use_pallas: bool = False,
+    inner: int = 4,
 ):
     """Returns hyper_sweep(cb_state, sigma) -> cb_state: ~sweepstep attempted
-    moves (default n) as ceil(sweepstep / n_active) checkerboard substeps.
+    moves (default n) as ceil(sweepstep / (n_active*inner)) substeps.
+
+    `inner` runs that many SEQUENTIAL Metropolis sub-moves per active cell
+    per substep against the once-extracted neighbour blocks (the active
+    cell's own block is updated in-register between sub-moves; no other
+    active cell ever appears in those blocks, so cross-cell independence is
+    preserved). This amortises the block extraction and scan-step dispatch
+    over `inner` attempted moves — the main HBM/overhead lever.
 
     use_pallas fuses the ΔE evaluation into one VMEM-resident pallas kernel
     (moves/pallas_kernels.py); off-TPU it runs in interpreter mode, so keep
@@ -229,7 +237,8 @@ def build_hyper_sweep_fn(
     A_dims = spec.active_dims
     A = spec.n_active
     cap = spec.cap
-    n_sub = max(1, -(-int(sweepstep or n) // A))
+    inner = max(1, int(inner))
+    n_sub = max(1, -(-int(sweepstep or n) // (A * inner)))
     offsets = list(itertools.product((-1, 0, 1), repeat=d))
     center_idx = offsets.index((0,) * d)
     grids = np.meshgrid(*[2 * np.arange(ak) for ak in A_dims], indexing="ij")
@@ -256,9 +265,11 @@ def build_hyper_sweep_fn(
         # all per-substep randomness pregenerated in 3 bulk draws — keeps
         # ~6 threefry kernels per substep out of the scan body
         k_pick, k_delta, k_acc = jax.random.split(k_scan, 3)
-        u_pick = jax.random.uniform(k_pick, (n_sub, A), dt, maxval=1.0 - 1e-7)
-        deltas = jax.random.normal(k_delta, (n_sub, A, d), dt)
-        u_acc = jax.random.uniform(k_acc, (n_sub, A), dt, minval=jnp.finfo(dt).tiny)
+        u_pick = jax.random.uniform(k_pick, (n_sub, inner, A), dt, maxval=1.0 - 1e-7)
+        deltas = jax.random.normal(k_delta, (n_sub, inner, A, d), dt)
+        u_acc = jax.random.uniform(
+            k_acc, (n_sub, inner, A), dt, minval=jnp.finfo(dt).tiny
+        )
 
         def substep(carry, scan_in):
             cbits, u_pick_s, delta_s, u_acc_s = scan_in
@@ -280,11 +291,18 @@ def build_hyper_sweep_fn(
                 )
                 return block[sl].reshape(A, cap, d + 2)
 
-            center = nb_slice((0,) * d)
-            pos_c = center[..., :d]
-            sp_c = center[..., d].astype(jnp.int32)  # -1 == empty
-
-            idx_c = center[..., d + 1].astype(jnp.int32)  # id lane
+            center = nb_slice((0,) * d)  # [A, cap, d+2], updated per sub-move
+            sp_c = center[..., d].astype(jnp.int32)  # -1 == empty (static)
+            idx_c = center[..., d + 1].astype(jnp.int32)  # id lane (static)
+            # the 26 surrounding blocks never contain another ACTIVE cell, so
+            # they are static across the inner sub-moves
+            others = jnp.concatenate(
+                [nb_slice(t) for i, t in enumerate(offsets) if i != center_idx],
+                axis=1,
+            )  # [A, 26*cap, d+2]
+            pos_o = others[..., :d]
+            sp_o = others[..., d].astype(jnp.int32)
+            valid_o = sp_o >= 0
 
             coords = jnp.asarray(base_coords, jnp.int32) + cbits[None, :]  # [A, d]
             flat = coords[:, 0]
@@ -293,92 +311,104 @@ def build_hyper_sweep_fn(
 
             occ = jnp.sum((sp_c >= 0).astype(jnp.int32), axis=-1)  # [A]
             occupied = occ > 0
-
-            # --- pick one particle per occupied active cell -----------------
-            # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
-            r = jnp.floor(u_pick_s * occ.astype(dt)).astype(jnp.int32)
             slot_iota = jnp.arange(cap, dtype=jnp.int32)
-            pick = slot_iota[None, :] == r[:, None]  # [A, cap]
-            x_a = jnp.sum(jnp.where(pick[..., None], pos_c, 0.0), axis=1)
-            s_a = jnp.sum(jnp.where(pick, sp_c, 0), axis=1)
-            id_a = jnp.sum(jnp.where(pick, idx_c, 0), axis=1)
-
-            # --- proposal: Gaussian, auto-reject on cell exit ---------------
-            delta = sigma * delta_s
-            x_new = x_a + delta
-            in_cell = jnp.all(_cell_vec(x_new, shift, box, spec) == coords, axis=-1)
-
-            # --- ΔE over the 3^d neighbour blocks ---------------------------
-            if use_pallas:
-                from . import pallas_kernels as PK
-
-                nb_all = jnp.stack(
-                    [center if i == center_idx else nb_slice(t)
-                     for i, t in enumerate(offsets)],
-                    axis=1,
-                )  # [A, 27, cap, d+2]
-                K = len(offsets) * cap
-                nb_flat = nb_all.reshape(A, K, d + 2)
-                planes = jnp.moveaxis(nb_flat[..., : d + 1], -1, 0)
-                sp_pl = planes[d]
-                self_m = jnp.zeros((A, len(offsets), cap), bool)
-                self_m = self_m.at[:, center_idx, :].set(pick)
-                valid_m = (sp_pl >= 0) & ~self_m.reshape(A, K)
-                act = jnp.concatenate(
-                    [x_a, x_new, s_a.astype(dt)[:, None], jnp.zeros((A, 7 - 2 * d), dt)],
-                    axis=1,
-                )
-                de = PK.delta_e_planes(
-                    planes,
-                    act,
-                    valid_m.astype(dt),
-                    PK.pack_table(table, dt),
-                    box[None, :],
-                    table.n_species,
-                )[:, 0]
-            else:
-                de = jnp.zeros((A,), dt)
-                for t in offsets:
-                    nb = center if all(v == 0 for v in t) else nb_slice(t)
-                    pos_nb = nb[..., :d]
-                    sp_nb = nb[..., d].astype(jnp.int32)
-                    valid = sp_nb >= 0
-                    if all(v == 0 for v in t):
-                        valid = valid & ~pick  # exclude self
-                    p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0))
-                    r2_old = dist2(pos_nb, x_a[:, None, :], box)
-                    r2_new = dist2(pos_nb, x_new[:, None, :], box)
-                    du = pair_potential(r2_new, p) - pair_potential(r2_old, p)
-                    de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
-
-            # --- Metropolis accept (overlap → de=+inf → reject) -------------
-            u = u_acc_s
-            accept = (jnp.log(u) < -de / system.temperature) & in_cell & occupied
-            booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
-
-            # --- apply via one-hot matmul scatters --------------------------
-            upd = accept.astype(dt)
-            dxa = (x_new - x_a) * upd[:, None]  # [A, d]
             iota_n = jnp.arange(n, dtype=jnp.int32)
-            onehot_n = (iota_n[None, :] == id_a[:, None]).astype(dt)  # [A, N]
-            position = system.position + jnp.einsum("an,ad->nd", onehot_n, dxa)
 
-            f_a = flat * cap + r
-            iota_f = jnp.arange(spec.total * cap, dtype=jnp.int32)
-            onehot_f = (iota_f[None, :] == f_a[:, None]).astype(dt)  # [A, F]
-            dpay = jnp.concatenate([dxa, jnp.zeros((A, 2), dt)], axis=-1)
-            payload = payload + jnp.einsum("af,ax->fx", onehot_f, dpay).reshape(
+            position = system.position
+            energy = system.energy
+            att = jnp.zeros((), cb.attempted.dtype)
+            acc = jnp.zeros((), cb.accepted.dtype)
+
+            for kin in range(inner):
+                # --- pick one particle per occupied active cell -------------
+                # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
+                r = jnp.floor(u_pick_s[kin] * occ.astype(dt)).astype(jnp.int32)
+                pick = slot_iota[None, :] == r[:, None]  # [A, cap]
+                pos_c = center[..., :d]
+                x_a = jnp.sum(jnp.where(pick[..., None], pos_c, 0.0), axis=1)
+                s_a = jnp.sum(jnp.where(pick, sp_c, 0), axis=1)
+                id_a = jnp.sum(jnp.where(pick, idx_c, 0), axis=1)
+
+                # --- proposal: Gaussian, auto-reject on cell exit -----------
+                delta = sigma * delta_s[kin]
+                x_new = x_a + delta
+                in_cell = jnp.all(
+                    _cell_vec(x_new, shift, box, spec) == coords, axis=-1
+                )
+
+                # --- ΔE: own (live) block + static neighbour blocks ---------
+                if use_pallas:
+                    from . import pallas_kernels as PK
+
+                    nb_flat = jnp.concatenate([center, others], axis=1)
+                    planes = jnp.moveaxis(nb_flat[..., : d + 1], -1, 0)
+                    sp_pl = planes[d]
+                    self_m = jnp.concatenate(
+                        [pick, jnp.zeros((A, 26 * cap), bool)], axis=1
+                    )
+                    valid_m = (sp_pl >= 0) & ~self_m
+                    act = jnp.concatenate(
+                        [x_a, x_new, s_a.astype(dt)[:, None],
+                         jnp.zeros((A, 7 - 2 * d), dt)],
+                        axis=1,
+                    )
+                    de = PK.delta_e_planes(
+                        planes,
+                        act,
+                        valid_m.astype(dt),
+                        PK.pack_table(table, dt),
+                        box[None, :],
+                        table.n_species,
+                    )[:, 0]
+                else:
+                    de = jnp.zeros((A,), dt)
+                    for pos_nb, sp_nb, valid in (
+                        (pos_c, sp_c, (sp_c >= 0) & ~pick),
+                        (pos_o, sp_o, valid_o),
+                    ):
+                        p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0))
+                        r2_old = dist2(pos_nb, x_a[:, None, :], box)
+                        r2_new = dist2(pos_nb, x_new[:, None, :], box)
+                        du = pair_potential(r2_new, p) - pair_potential(r2_old, p)
+                        de = de + jnp.sum(
+                            jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
+                        )
+
+                # --- Metropolis accept (overlap → de huge → reject) ---------
+                accept = (
+                    (jnp.log(u_acc_s[kin]) < -de / system.temperature)
+                    & in_cell
+                    & occupied
+                )
+                booked = jnp.where(
+                    accept & jnp.isfinite(de), de, jnp.zeros_like(de)
+                )
+
+                # --- apply: live center update + one-hot position scatter ----
+                upd = accept.astype(dt)
+                dxa = (x_new - x_a) * upd[:, None]  # [A, d]
+                moved = (pick & accept[:, None])[..., None]  # [A, cap, 1]
+                center = center.at[..., :d].set(
+                    jnp.where(moved, x_new[:, None, :], pos_c)
+                )
+                onehot_n = (iota_n[None, :] == id_a[:, None]).astype(dt)  # [A, N]
+                position = position + jnp.einsum("an,ad->nd", onehot_n, dxa)
+                energy = energy + jnp.sum(booked)
+                att = att + jnp.sum(occupied.astype(att.dtype))
+                acc = acc + jnp.sum(accept.astype(acc.dtype))
+
+            # --- write the live center rows back into the payload ------------
+            iota_c = jnp.arange(spec.total, dtype=jnp.int32)
+            onehot_c = (iota_c[None, :] == flat[:, None]).astype(dt)  # [A, total]
+            rows = center.reshape(A, cap * (d + 2))
+            scattered = jnp.einsum("ac,ax->cx", onehot_c, rows).reshape(
                 spec.total, cap, d + 2
             )
+            is_active = jnp.sum(onehot_c, axis=0).reshape(spec.total, 1, 1) > 0
+            payload = jnp.where(is_active, scattered, payload)
 
-            system = system.replace(
-                position=position, energy=system.energy + jnp.sum(booked)
-            )
-            stats = (
-                jnp.sum(occupied.astype(cb.attempted.dtype)),
-                jnp.sum(accept.astype(cb.accepted.dtype)),
-            )
-            return (system, payload, idx), stats
+            system = system.replace(position=position, energy=energy)
+            return (system, payload, idx), (att, acc)
 
         (system, payload, idx), (att_s, acc_s) = jax.lax.scan(
             substep, (cb.system, payload0, idx0), (colors, u_pick, deltas, u_acc)
