@@ -64,7 +64,25 @@ def fene(r2, kr02, r02):
     return kr02 * jnp.log(1.0 - r2 / r02)
 
 
-def pair_potential(r2, p):
+def pair_fields_needed(kinds_present=None):
+    """Which per-pair parameter fields pair_potential will touch for these
+    kinds — lets callers skip building select-chains for dead fields."""
+    if kinds_present is None:
+        return ("kind", "eps4", "sigma2", "ipl_n", "rcut2", "shift", "c0", "c2s2", "c4s4")
+    kp = tuple(kinds_present)
+    need = ["eps4", "sigma2", "rcut2"]
+    if len(kp) > 1 or KIND_NONE in kp:
+        need.append("kind")
+    if KIND_INVERSE_POWER in kp:
+        need.append("ipl_n")
+    if KIND_INVERSE_POWER in kp or KIND_LENNARD_JONES in kp:
+        need.append("shift")
+    if KIND_SMOOTH_LJ in kp:
+        need += ["c0", "c2s2", "c4s4"]
+    return tuple(dict.fromkeys(need))
+
+
+def pair_potential(r2, p, kinds_present=None):
     """Evaluate the pair potential for gathered per-pair parameters `p`.
 
     `p` is a pytree with array fields (kind, eps4, sigma2, ipl_n, shift,
@@ -72,29 +90,51 @@ def pair_potential(r2, p):
     (see tables.gather_pair). Applies the cutoff: u = 0 for r2 > rcut2
     (reference keeps r2 == rcut2, src/atoms.jl:73). Returns 0 for kind 0.
 
+    `kinds_present` (static tuple of the kinds actually in the table, see
+    tables.kinds_present) prunes the dead functional-form branches — the
+    generic path wastes ~25 VPU ops/lane on e.g. the square-and-multiply
+    inverse-power chain when a table is pure LJ. None keeps every branch.
+
     r2 == 0 lanes (self pairs / padding) are made safe and must be masked by
     the caller; we still clamp to avoid inf/nan leaking through `where`.
     """
     dt = r2.dtype if hasattr(r2, "dtype") else jnp.result_type(r2)
+    kp = (
+        (KIND_INVERSE_POWER, KIND_LENNARD_JONES, KIND_SMOOTH_LJ)
+        if kinds_present is None
+        else tuple(kinds_present)
+    )
     r2s = jnp.maximum(r2, jnp.asarray(1e-12, dt))
     x = p.sigma2 / r2s
     x3 = x * x * x
-    lj = p.eps4 * (x3 * x3 - x3)
-    ipl = p.eps4 * _int_pow(jnp.sqrt(x), p.ipl_n)  # eps4 holds raw eps for kind 1
-    smooth_add = p.eps4 * (p.c0 + r2s * (p.c2s2 + r2s * p.c4s4))
+    need_lj = KIND_LENNARD_JONES in kp or KIND_SMOOTH_LJ in kp
+    lj = p.eps4 * (x3 * x3 - x3) if need_lj else None
 
-    kind = p.kind
-    u = jnp.where(
-        kind == KIND_INVERSE_POWER,
-        ipl - p.shift,
-        jnp.where(
-            kind == KIND_LENNARD_JONES,
-            lj - p.shift,
-            jnp.where(kind == KIND_SMOOTH_LJ, lj + smooth_add, jnp.zeros_like(lj)),
-        ),
-    )
+    # single-kind fast paths: no per-lane kind select at all
+    if kp == (KIND_LENNARD_JONES,):
+        u = lj - p.shift
+    elif kp == (KIND_INVERSE_POWER,):
+        u = p.eps4 * _int_pow(jnp.sqrt(x), p.ipl_n) - p.shift
+    elif kp == (KIND_SMOOTH_LJ,):
+        u = lj + p.eps4 * (p.c0 + r2s * (p.c2s2 + r2s * p.c4s4))
+    else:
+        kind = p.kind
+        u = jnp.zeros_like(x3)
+        if KIND_SMOOTH_LJ in kp:
+            smooth_add = p.eps4 * (p.c0 + r2s * (p.c2s2 + r2s * p.c4s4))
+            u = jnp.where(kind == KIND_SMOOTH_LJ, lj + smooth_add, u)
+        if KIND_LENNARD_JONES in kp:
+            u = jnp.where(kind == KIND_LENNARD_JONES, lj - p.shift, u)
+        if KIND_INVERSE_POWER in kp:
+            ipl = p.eps4 * _int_pow(jnp.sqrt(x), p.ipl_n)
+            u = jnp.where(kind == KIND_INVERSE_POWER, ipl - p.shift, u)
+
     in_range = r2 <= p.rcut2
-    return jnp.where(in_range & (kind != KIND_NONE), u, jnp.zeros_like(u))
+    if kinds_present is not None and KIND_NONE not in kp and len(kp) > 0:
+        mask = in_range
+    else:
+        mask = in_range & (p.kind != KIND_NONE)
+    return jnp.where(mask, u, jnp.zeros_like(u))
 
 
 def pair_virial(r2, p):

@@ -88,6 +88,14 @@ class PairTable:
         return jax.tree.map(cast, self)
 
 
+def kinds_present(table: PairTable):
+    """Static tuple of potential kinds used by this table — feed to
+    pair_potential(kinds_present=...) to prune dead branch math."""
+    import numpy as np
+
+    return tuple(sorted(int(k) for k in set(np.asarray(table.kind).ravel().tolist())))
+
+
 def gather_pair(table: PairTable, si, sj):
     """Gather per-pair parameters for species index arrays si, sj.
 

@@ -53,7 +53,7 @@ from flax import struct
 from ..core.geometry import dist2, fold_back
 from ..core.state import SystemState
 from ..models.potentials import pair_potential
-from ..models.tables import PairTable
+from ..models.tables import PairTable, kinds_present
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,8 +190,10 @@ class _P:
             setattr(self, k, v)
 
 
-def _pair_params(table: PairTable, sa, sb):
-    """table[sa, sb] per field via a static S x S where-chain (no gathers)."""
+def _pair_params(table: PairTable, sa, sb, fields=_PAIR_FIELDS):
+    """table[sa, sb] per field via a static S x S where-chain (no gathers).
+    `fields` prunes the chains to what the potential evaluation will touch
+    (potentials.pair_fields_needed)."""
     s_count = table.n_species
     shape = jnp.broadcast_shapes(jnp.shape(sa), jnp.shape(sb))
 
@@ -204,7 +206,7 @@ def _pair_params(table: PairTable, sa, sb):
                 acc = jnp.where((sa == s1) & (sb == s2), a[s1, s2], acc)
         return acc
 
-    return _P(**{f: sel(getattr(table, f)) for f in _PAIR_FIELDS})
+    return _P(**{f: sel(getattr(table, f)) for f in fields})
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +241,9 @@ def build_hyper_sweep_fn(
     cap = spec.cap
     inner = max(1, int(inner))
     n_sub = max(1, -(-int(sweepstep or n) // (A * inner)))
+    kp = kinds_present(table)  # static: prunes dead potential branches
+    from ..models.potentials import pair_fields_needed
+    pf = pair_fields_needed(kp)
     offsets = list(itertools.product((-1, 0, 1), repeat=d))
     center_idx = offsets.index((0,) * d)
     grids = np.meshgrid(*[2 * np.arange(ak) for ak in A_dims], indexing="ij")
@@ -359,6 +364,7 @@ def build_hyper_sweep_fn(
                         PK.pack_table(table, dt),
                         box[None, :],
                         table.n_species,
+                        kinds_present=kp,
                     )[:, 0]
                 else:
                     de = jnp.zeros((A,), dt)
@@ -366,10 +372,10 @@ def build_hyper_sweep_fn(
                         (pos_c, sp_c, (sp_c >= 0) & ~pick),
                         (pos_o, sp_o, valid_o),
                     ):
-                        p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0))
+                        p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0), pf)
                         r2_old = dist2(pos_nb, x_a[:, None, :], box)
                         r2_new = dist2(pos_nb, x_new[:, None, :], box)
-                        du = pair_potential(r2_new, p) - pair_potential(r2_old, p)
+                        du = pair_potential(r2_new, p, kp) - pair_potential(r2_old, p, kp)
                         de = de + jnp.sum(
                             jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
                         )

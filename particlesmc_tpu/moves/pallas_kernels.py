@@ -58,7 +58,7 @@ def pack_table(table, dtype=jnp.float32) -> jax.Array:
     )
 
 
-def _kernel(d: int, s_count: int, planes_ref, act_ref, mask_ref, tbl_ref, box_ref, de_ref):
+def _kernel(d: int, s_count: int, kp, planes_ref, act_ref, mask_ref, tbl_ref, box_ref, de_ref):
     # distances, old and new, accumulated per dimension
     dtp = planes_ref.dtype
     r2o = jnp.zeros(planes_ref.shape[1:], dtp)
@@ -76,9 +76,14 @@ def _kernel(d: int, s_count: int, planes_ref, act_ref, mask_ref, tbl_ref, box_re
     sp = planes_ref[d]  # [A, K] neighbour species (float)
     sa = act_ref[:, 2 * d : 2 * d + 1]  # [A, 1] active species (float)
 
-    # per-pair parameter planes via a static S x S where-chain
+    # per-pair parameter planes via a static S x S where-chain, pruned to
+    # the fields this table's potential kinds actually touch
+    from ..models.potentials import pair_fields_needed
+
     fields = {}
     for fi, name in enumerate(PAIR_FIELDS):
+        if name not in pair_fields_needed(kp):
+            continue
         acc = jnp.full(sp.shape, tbl_ref[fi, 0, 0], dtp)
         for s1 in range(s_count):
             for s2 in range(s_count):
@@ -89,10 +94,12 @@ def _kernel(d: int, s_count: int, planes_ref, act_ref, mask_ref, tbl_ref, box_re
         fields[name] = acc
     p = _P(**fields)
     # pair_potential treats kind/ipl_n as ints; exact small floats cast back
-    p.kind = p.kind.astype(jnp.int32)
-    p.ipl_n = p.ipl_n.astype(jnp.int32)
+    if "kind" in fields:
+        p.kind = p.kind.astype(jnp.int32)
+    if "ipl_n" in fields:
+        p.ipl_n = p.ipl_n.astype(jnp.int32)
 
-    du = pair_potential(r2n, p) - pair_potential(r2o, p)
+    du = pair_potential(r2n, p, kp) - pair_potential(r2o, p, kp)
     du = jnp.where(mask_ref[:] > 0, du, jnp.zeros_like(du))
     de_ref[:] = jnp.sum(du, axis=1, keepdims=True)
 
@@ -105,13 +112,14 @@ def delta_e_planes(
     box: jax.Array,  # [1, d]
     s_count: int,
     interpret: Optional[bool] = None,
+    kinds_present=None,
 ) -> jax.Array:
     """Fused ΔE over candidate planes; returns [A, 1]."""
     d = planes.shape[0] - 1
     A = planes.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kern = functools.partial(_kernel, d, s_count)
+    kern = functools.partial(_kernel, d, s_count, kinds_present)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((A, 1), planes.dtype),
