@@ -68,7 +68,13 @@ def main():
         from particlesmc_tpu.moves import checkerboard as CB
 
         spec = CB.make_cb_spec(__import__("numpy").asarray(st.box), table.max_cutoff, N)
-        hs = CB.build_hyper_sweep_fn(spec, table, N)
+        hs = CB.build_hyper_sweep_fn(
+            spec,
+            table,
+            N,
+            use_pallas=bool(int(os.environ.get("BENCH_PALLAS", "0"))),
+            inner=int(os.environ.get("BENCH_INNER", "4")),
+        )
 
         @jax.jit
         def init_all(st):

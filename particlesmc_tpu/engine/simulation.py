@@ -171,7 +171,14 @@ class Simulation:
             self.mc = jax.jit(
                 jax.vmap(lambda st, k: CBK.init_cb_state(st, cb_spec, k))
             )(chains.states, keys)
-            hsweep = CBK.build_hyper_sweep_fn(cb_spec, chains.table, n, self.sweepstep)
+            hsweep = CBK.build_hyper_sweep_fn(
+                cb_spec,
+                chains.table,
+                n,
+                self.sweepstep,
+                use_pallas=bool(chains.list_parameters.get("use_pallas", False)),
+                inner=int(chains.list_parameters.get("inner", 4)),
+            )
             self._color_key = jax.random.PRNGKey(self.seed ^ 0xC0102)
 
             def cb_chunk(mc, sigma, color_keys):
