@@ -27,6 +27,7 @@ CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
 MODE = os.environ.get("BENCH_MODE", "cb")
 SIGMA = float(os.environ.get("BENCH_SIGMA", 0.10))
+REBIN = int(os.environ.get("BENCH_REBIN", 4))  # sweeps per rebin block (cb mode)
 JULIA_BASELINE_SWEEPS_PER_S = 200.0
 
 
@@ -74,6 +75,7 @@ def main():
             N,
             use_pallas=bool(int(os.environ.get("BENCH_PALLAS", "0"))),
             inner=int(os.environ.get("BENCH_INNER", "4")),
+            sweeps=REBIN,
         )
 
         @jax.jit
@@ -83,11 +85,10 @@ def main():
             return jax.vmap(lambda s, k: CB.init_cb_state(s, spec, k))(batch, keys)
 
         state = init_all(st)
-        step = jax.jit(jax.vmap(lambda m, ck: hs(m, SIGMA, ck), in_axes=(0, None)))
-        ck = jax.random.PRNGKey(123)
+        step = jax.jit(jax.vmap(lambda m: hs(m, SIGMA)))
 
         def advance(s, i):
-            return step(s, jax.random.fold_in(ck, i))
+            return step(s)
 
         label = f"checkerboard MC sweeps/s/chip, N={N} LJ, {CHAINS} chains"
     else:
@@ -126,7 +127,8 @@ def main():
     jax.block_until_ready(state.system.position)
     elapsed = time.perf_counter() - t0
 
-    sweeps_per_s = CHAINS * SWEEPS_TIMED / elapsed
+    sweeps_per_step = REBIN if MODE == "cb" else 1  # one cb step = REBIN sweeps
+    sweeps_per_s = CHAINS * SWEEPS_TIMED * sweeps_per_step / elapsed
     print(
         json.dumps(
             {

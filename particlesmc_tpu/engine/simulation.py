@@ -171,31 +171,45 @@ class Simulation:
             self.mc = jax.jit(
                 jax.vmap(lambda st, k: CBK.init_cb_state(st, cb_spec, k))
             )(chains.states, keys)
-            hsweep = CBK.build_hyper_sweep_fn(
-                cb_spec,
-                chains.table,
-                n,
-                self.sweepstep,
+            rebin_every = max(1, int(chains.list_parameters.get("rebin_every", 4)))
+            cb_kwargs = dict(
                 use_pallas=bool(chains.list_parameters.get("use_pallas", False)),
                 inner=int(chains.list_parameters.get("inner", 4)),
             )
-            self._color_key = jax.random.PRNGKey(self.seed ^ 0xC0102)
+            # one jitted block per distinct sweeps-per-rebin size; the argsort
+            # rebin is amortised over `rebin_every` sweeps within a block
+            hs_blocks: Dict[int, Callable] = {}
 
-            def cb_chunk(mc, sigma, color_keys):
-                def body(carry, ck):
-                    return hsweep(carry, sigma, ck), None
-
-                mc, _ = jax.lax.scan(body, mc, color_keys)
-                return mc
+            def hs_block(sweeps: int):
+                f = hs_blocks.get(sweeps)
+                if f is None:
+                    f = CBK.build_hyper_sweep_fn(
+                        cb_spec, chains.table, n, self.sweepstep,
+                        sweeps=sweeps, **cb_kwargs,
+                    )
+                    hs_blocks[sweeps] = f
+                return f
 
             def run_chunk(mc, params, n_sweeps: int):
                 f = self._chunk_cache.get(n_sweeps)
                 if f is None:
-                    f = jax.jit(jax.vmap(cb_chunk, in_axes=(0, None, None)))
+                    nb, rem = divmod(n_sweeps, rebin_every)
+                    block = hs_block(rebin_every)
+                    rem_block = hs_block(rem) if rem else None
+
+                    def chunk(mc, sigma):
+                        if nb:
+                            def body(carry, _):
+                                return block(carry, sigma), None
+
+                            mc, _ = jax.lax.scan(body, mc, None, length=nb)
+                        if rem_block is not None:
+                            mc = rem_block(mc, sigma)
+                        return mc
+
+                    f = jax.jit(jax.vmap(chunk, in_axes=(0, None)))
                     self._chunk_cache[n_sweeps] = f
-                self._color_key, sub = jax.random.split(self._color_key)
-                cks = jax.random.split(sub, n_sweeps)
-                return f(mc, params[0]["sigma"], cks)
+                return f(mc, params[0]["sigma"])
 
             self._run_chunk = run_chunk
         else:

@@ -95,7 +95,7 @@ def load_checkpoint(path: str, config, dtype=None) -> Tuple["MCState", tuple, in
 
 def load_checkpoint_checkerboard(path: str, spec, dtype=None):
     """Rebuild a (batched) CBState + pool params + step from a checkpoint
-    written while running the checkerboard backend. The payload grid and
+    written while running the checkerboard backend. The plane grid and
     shift are derived state (a fresh shift is drawn at the next hyper-sweep
     anyway), so they are rebuilt with rebin rather than stored."""
     from ..core.state import SystemState
@@ -119,20 +119,21 @@ def load_checkpoint_checkerboard(path: str, spec, dtype=None):
 
     def build(sys_one):
         shift = jnp.zeros((d,), dt)
-        payload, idx, ovf = rebin(sys_one, spec, shift)
-        return payload, idx, ovf, shift
+        planes, idx, slot, ovf = rebin(sys_one, spec, shift)
+        return planes, idx, slot, ovf, shift
 
     cdt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     if st.position.ndim == 3:
-        payload, idx, ovf, shift = jax.vmap(build)(st)
+        planes, idx, slot, ovf, shift = jax.vmap(build)(st)
     else:
-        payload, idx, ovf, shift = build(st)
+        planes, idx, slot, ovf, shift = build(st)
     cb = CBState(
         system=st,
         key=jnp.asarray(z["key"]),
         shift=shift,
-        payload=payload,
+        planes=planes,
         idx=idx,
+        slot=slot,
         attempted=jnp.asarray(z["attempted"], cdt),
         accepted=jnp.asarray(z["accepted"], cdt),
         overflow=ovf,

@@ -9,26 +9,44 @@ by GPU hard-particle MC codes), proposing ~A independent moves per substep.
 Scheme (valid MCMC for the Boltzmann target):
 
 - Bin particles into a grid of cells of side >= rcut (even count per dim),
-  with a random origin shift redrawn at the start of every hyper-sweep.
-- A substep draws one of 2^d checkerboard colors; the "active" cells of that
+  with a random origin shift redrawn at the start of every rebin block.
+- A substep activates one of 2^d checkerboard colors; the active cells of a
   color form a stride-2 sublattice, so any two active cells are separated by
   at least one cell (>= rcut): moves of one particle per active cell are
   exactly independent — each sees the true pre-substep configuration.
 - One particle is picked uniformly per occupied active cell; a Gaussian
   displacement is proposed; proposals that would LEAVE the particle's cell
   are rejected outright. In-cell truncation keeps the proposal symmetric and
-  the binning static for the whole hyper-sweep (selection probabilities are
+  the binning static for the whole block (selection probabilities are
   therefore symmetric and detailed balance holds per substep). Ergodicity
-  across cell boundaries is restored by the per-sweep random grid shift —
+  across cell boundaries is restored by the per-block random grid shift —
   the standard resolution in checkerboard MC.
-- ΔE uses candidates from the particle's 3^d neighbouring cells, extracted
-  as STATIC strided slices of a wrap-padded payload grid — no vector-index
-  gathers anywhere (they serialise on TPU); updates are one-hot matmul
-  scatters (MXU work).
+- Colors cycle in a FIXED order (itertools.product over parity bits). A
+  fixed scan order drops detailed balance for the composed sweep but keeps
+  π-invariance (each color substep is a valid Metropolis kernel), exactly
+  like sequential-scan Gibbs; it buys fully static slicing — no traced
+  indices anywhere, which is what TPUs need (a traced color turns the
+  neighbour-block extraction into a batched gather, measured 400x slower).
+
+TPU-native layout (this is where the speed comes from):
+
+- Struct-of-planes payload `[d+1, ncells..., cap]` (x, y, z, species) —
+  never an `[..., d+2]` trailing axis, which Mosaic/XLA would tile to
+  (sublane=8, lane=128) and inflate ~25x in HBM traffic.
+- The scan carries a wrap-PADDED plane grid; each color substep updates the
+  active sublattice in place with static strided slices and refreshes one
+  halo face per dimension (sequential face copies propagate corners).
+- Global positions are NOT touched inside the scan: the payload is the
+  canonical state, and positions are reconstructed once per call with a
+  single scatter through `idx` (particles cannot change cells between
+  rebins, so `idx` is constant for the whole block).
+- A call runs `sweeps` hyper-sweeps per rebin: the O(N log N) argsort
+  binning (the single most expensive op at N=10k) is amortised over
+  `sweeps * N` attempted moves.
 
 One "sweep" is accounted as ~N attempted moves, matching the reference
 convention (sweepstep = N, reference src/ParticlesMC.jl:246), i.e.
-ceil(N / A) substeps of A simultaneous proposals.
+rounds of 2^d color substeps with A*inner proposals each.
 
 Reference parity note: this kernel has no counterpart in the reference (its
 only parallelism is threads over chains, src/ParticlesMC.jl:246); it samples
@@ -50,9 +68,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..core.geometry import dist2, fold_back
+from ..core.geometry import fold_back
 from ..core.state import SystemState
-from ..models.potentials import pair_potential
+from ..models.potentials import pair_fields_needed, pair_potential
 from ..models.tables import PairTable, kinds_present
 
 
@@ -101,8 +119,9 @@ class CBState:
     system: SystemState
     key: jax.Array
     shift: jax.Array  # [d] grid origin offset
-    payload: jax.Array  # [nc_total, cap, d+2]: position, species, id (as floats)
+    planes: jax.Array  # [d+1, nc_total, cap]: x..z planes (SHIFTED frame) + species
     idx: jax.Array  # [nc_total, cap] i32 particle ids, -1 padded
+    slot: jax.Array  # [n] i32 flat payload slot of each particle
     attempted: jax.Array  # displacement-move counters
     accepted: jax.Array
     overflow: jax.Array  # sticky bool
@@ -110,6 +129,13 @@ class CBState:
 
 # ---------------------------------------------------------------------------
 # Binning
+#
+# Payload positions are stored in the SHIFTED frame x' = fold(x - shift):
+# cell c then spans the contiguous interval [c*L/nc, (c+1)*L/nc) per dim,
+# no cell ever straddles the box boundary, and — together with the
+# image-corrected halos (pad faces carry x' -/+ L) — every in-substep
+# distance is a PLAIN coordinate difference: no minimum-image round/divide
+# in the hot loop at all (|dx| <= 2 cells <= box/2 guarantees exactness).
 # ---------------------------------------------------------------------------
 
 
@@ -121,52 +147,71 @@ def _cell_vec(x, shift, box, spec: CBSpec):
 
 
 def rebin(system: SystemState, spec: CBSpec, shift):
-    """Sort-and-scatter payload build (positions + species + ids per cell)."""
+    """Gather-form binning: [d+1, total, cap] shifted positions + species.
+
+    Built entirely from sorts + gathers (one [n] permutation scatter for the
+    inverse map) — 2D scatters into the [total, cap] slot matrix serialise
+    badly on TPU, gathers don't (measured ~3x end-to-end)."""
     n, d = system.position.shape
-    cvec = _cell_vec(system.position, shift, system.box, spec)
+    dt = system.position.dtype
+    box = system.box
+    xs = fold_back(system.position - shift, box)  # shifted frame
+    nc = jnp.asarray(spec.ncells, jnp.int32)
+    cvec = jnp.clip(
+        jnp.floor(xs / box * nc.astype(dt)).astype(jnp.int32), 0, nc - 1
+    )
     cell = cvec[..., 0]
     for k in range(1, spec.d):
         cell = cell * spec.ncells[k] + cvec[..., k]
     order = jnp.argsort(cell, stable=True).astype(jnp.int32)
     sorted_cell = cell[order]
-    first = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    cells_iota = jnp.arange(spec.total, dtype=jnp.int32)
+    first = jnp.searchsorted(sorted_cell, cells_iota, side="left").astype(jnp.int32)
+    nxt = jnp.searchsorted(sorted_cell, cells_iota, side="right").astype(jnp.int32)
 
-    dt = system.position.dtype
-    idx = jnp.full((spec.total, spec.cap), -1, jnp.int32)
-    idx = idx.at[sorted_cell, rank].set(order, mode="drop")
-    # payload lanes: position[0:d], species (d), particle id (d+1) — the id
-    # rides as an exact small float so ONE pad+slice pipeline serves the
-    # whole substep (ids < 2^24 are exact in f32)
-    payload = jnp.zeros((spec.total, spec.cap, d + 2), dt)
-    payload = payload.at[..., d].set(-1.0)  # species lane -1 == empty slot
-    payload = payload.at[..., d + 1].set(-1.0)
-    rows = jnp.concatenate(
+    p = first[:, None] + jnp.arange(spec.cap, dtype=jnp.int32)[None, :]
+    valid = p < nxt[:, None]
+    pc = jnp.minimum(p, n - 1).reshape(-1)
+    idx = jnp.where(valid, jnp.take(order, pc).reshape(spec.total, spec.cap), -1)
+    safe = jnp.maximum(idx, 0).reshape(-1)
+    comps = [xs[:, j] for j in range(d)] + [system.species.astype(dt)]
+    fills = [jnp.asarray(0.0, dt)] * d + [jnp.asarray(-1.0, dt)]
+    planes = jnp.stack(
         [
-            system.position[order],
-            system.species[order][:, None].astype(dt),
-            order[:, None].astype(dt),
-        ],
-        axis=-1,
+            jnp.where(valid, jnp.take(cj, safe).reshape(spec.total, spec.cap), f)
+            for cj, f in zip(comps, fills)
+        ]
     )
-    payload = payload.at[sorted_cell, rank].set(rows, mode="drop")
-    count = jnp.zeros((spec.total,), jnp.int32).at[cell].add(1)
-    overflow = jnp.any(count > spec.cap)
-    return payload, idx, overflow
+    # inverse map: particle -> flat payload slot (for gather-form unbinning)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(iota_n)
+    rank = inv - jnp.take(first, cell)
+    slot = cell * spec.cap + rank
+    overflow = jnp.any(nxt - first > spec.cap)
+    return planes, idx, slot, overflow
+
+
+def unbin_positions(planes, slot, shift, box):
+    """Gather payload positions back into a global [N, d] array."""
+    d = planes.shape[0] - 1
+    cols = [jnp.take(planes[j].reshape(-1), slot) + shift[j] for j in range(d)]
+    x = jnp.stack(cols, axis=-1)
+    return fold_back(x, box)
 
 
 def init_cb_state(system: SystemState, spec: CBSpec, seed) -> CBState:
     key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
     d = system.position.shape[-1]
     shift = jnp.zeros((d,), system.position.dtype)
-    payload, idx, overflow = rebin(system, spec, shift)
+    planes, idx, slot, overflow = rebin(system, spec, shift)
     cdt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     return CBState(
         system=system,
         key=key,
         shift=shift,
-        payload=payload,
+        planes=planes,
         idx=idx,
+        slot=slot,
         attempted=jnp.zeros((), cdt),
         accepted=jnp.zeros((), cdt),
         overflow=overflow,
@@ -192,8 +237,9 @@ class _P:
 
 def _pair_params(table: PairTable, sa, sb, fields=_PAIR_FIELDS):
     """table[sa, sb] per field via a static S x S where-chain (no gathers).
-    `fields` prunes the chains to what the potential evaluation will touch
-    (potentials.pair_fields_needed)."""
+    `sa`/`sb` may be int or float species arrays (float compares exactly for
+    small ids). `fields` prunes the chains to what the potential evaluation
+    will touch (potentials.pair_fields_needed)."""
     s_count = table.n_species
     shape = jnp.broadcast_shapes(jnp.shape(sa), jnp.shape(sb))
 
@@ -221,16 +267,22 @@ def build_hyper_sweep_fn(
     sweepstep: Optional[int] = None,
     use_pallas: bool = False,
     inner: int = 4,
+    sweeps: int = 1,
 ):
-    """Returns hyper_sweep(cb_state, sigma) -> cb_state: ~sweepstep attempted
-    moves (default n) as ceil(sweepstep / (n_active*inner)) substeps.
+    """Returns hyper_sweep(cb_state, sigma) -> cb_state: one rebin followed
+    by `sweeps` hyper-sweeps of ~sweepstep attempted moves each (default n),
+    then one global position sync.
 
     `inner` runs that many SEQUENTIAL Metropolis sub-moves per active cell
     per substep against the once-extracted neighbour blocks (the active
     cell's own block is updated in-register between sub-moves; no other
     active cell ever appears in those blocks, so cross-cell independence is
     preserved). This amortises the block extraction and scan-step dispatch
-    over `inner` attempted moves — the main HBM/overhead lever.
+    over `inner` attempted moves.
+
+    `sweeps` amortises the rebin (argsort) over that many sweeps per call —
+    particles stay confined to their cells for the whole block; the shift
+    redraw at the next call restores cross-cell diffusion.
 
     use_pallas fuses the ΔE evaluation into one VMEM-resident pallas kernel
     (moves/pallas_kernels.py); off-TPU it runs in interpreter mode, so keep
@@ -240,125 +292,118 @@ def build_hyper_sweep_fn(
     A = spec.n_active
     cap = spec.cap
     inner = max(1, int(inner))
-    n_sub = max(1, -(-int(sweepstep or n) // (A * inner)))
+    sweeps = max(1, int(sweeps))
+    C = 2**d
+    colors = list(itertools.product((0, 1), repeat=d))
+    rounds = max(1, -(-int(sweepstep or n) // (A * inner * C)))
     kp = kinds_present(table)  # static: prunes dead potential branches
-    from ..models.potentials import pair_fields_needed
     pf = pair_fields_needed(kp)
-    offsets = list(itertools.product((-1, 0, 1), repeat=d))
-    center_idx = offsets.index((0,) * d)
+    offsets = [t for t in itertools.product((-1, 0, 1), repeat=d) if any(t)]
+    # static grid coordinates of the active cells per color: 2a + c
     grids = np.meshgrid(*[2 * np.arange(ak) for ak in A_dims], indexing="ij")
     base_coords = np.stack([g.reshape(-1) for g in grids], axis=-1)  # [A, d]
 
     def hyper_sweep(cb: CBState, sigma, color_key=None) -> CBState:
-        """One hyper-sweep. `color_key` drives the substep color sequence;
-        under vmap it MUST be passed unbatched (in_axes=None) and shared by
-        all chains — a per-chain color would turn the neighbour-block
-        dynamic_slice into a batched-index gather, which serialises on TPU
-        (measured 400x slowdown). Sharing the color sequence across chains
-        correlates only WHICH sublattice is active each substep, not the
-        per-chain picks/displacements/acceptances; each chain remains a valid
-        sampler. When None (single-chain use), it is derived from cb.key.
-        """
+        """Run the block. `color_key` is accepted for backwards compatibility
+        and ignored — the color order is a fixed static cycle (see module
+        docstring for why that is both valid MCMC and TPU-necessary)."""
+        del color_key
         dt = cb.system.position.dtype
         sigma = jnp.asarray(sigma, dt)
-        key, k_shift, k_scan, k_color_fallback = jax.random.split(cb.key, 4)
-        if color_key is None:
-            color_key = k_color_fallback
-        colors = jax.random.randint(color_key, (n_sub, d), 0, 2, dtype=jnp.int32)
-        shift = jax.random.uniform(k_shift, (d,), dt) * cb.system.box
-        payload0, idx0, ovf = rebin(cb.system, spec, shift)
-        # all per-substep randomness pregenerated in 3 bulk draws — keeps
-        # ~6 threefry kernels per substep out of the scan body
-        k_pick, k_delta, k_acc = jax.random.split(k_scan, 3)
-        u_pick = jax.random.uniform(k_pick, (n_sub, inner, A), dt, maxval=1.0 - 1e-7)
-        deltas = jax.random.normal(k_delta, (n_sub, inner, A, d), dt)
+        box = cb.system.box
+        key, k_shift, k_rand = jax.random.split(cb.key, 3)
+        shift = jax.random.uniform(k_shift, (d,), dt) * box
+        planes0, idx, slot, ovf = rebin(cb.system, spec, shift)
+        grid0 = planes0.reshape((d + 1,) + spec.ncells + (cap,))
+        padded0 = jnp.pad(
+            grid0, [(0, 0)] + [(1, 1)] * d + [(0, 0)], mode="wrap"
+        )
+        # image-correct the halos: plane j's wrap faces along dim j read
+        # x' -/+ L so that all in-substep distances are plain differences
+        for j in range(d):
+            lo = (j,) + (slice(None),) * j + (0,)
+            hi = (j,) + (slice(None),) * j + (spec.ncells[j] + 1,)
+            padded0 = padded0.at[lo].add(-box[j])
+            padded0 = padded0.at[hi].add(box[j])
+
+        # all randomness pregenerated in 3 bulk draws, outside the scan body
+        R = sweeps * rounds
+        k_pick, k_delta, k_acc = jax.random.split(k_rand, 3)
+        u_pick = jax.random.uniform(k_pick, (R, C, inner, A), dt, maxval=1.0 - 1e-7)
+        deltas = jax.random.normal(k_delta, (R, C, inner, d, A), dt)
         u_acc = jax.random.uniform(
-            k_acc, (n_sub, inner, A), dt, minval=jnp.finfo(dt).tiny
+            k_acc, (R, C, inner, A), dt, minval=jnp.finfo(dt).tiny
         )
 
-        def substep(carry, scan_in):
-            cbits, u_pick_s, delta_s, u_acc_s = scan_in
-            system, payload, idx = carry
-            box = system.box
+        temperature = cb.system.temperature
+        slot_iota = jnp.arange(cap, dtype=jnp.int32)
 
-            # --- neighbour blocks: pad(wrap) + one dynamic slice + static
-            # strided slices (no vector-index gathers) ----------------------
-            grid = payload.reshape(spec.ncells + (cap, d + 2))
-            padded = jnp.pad(grid, [(1, 1)] * d + [(0, 0), (0, 0)], mode="wrap")
-            zero = jnp.asarray(0, jnp.int32)
-            start = tuple(cbits[k] for k in range(d)) + (zero, zero)
-            sizes = tuple(nk + 1 for nk in spec.ncells) + (cap, d + 2)
-            block = jax.lax.dynamic_slice(padded, start, sizes)
+        def color_substep(padded, energy, att, acc, c, up_c, dl_c, ua_c):
+            # static slice of dim k at cell offset `off` relative to actives
+            def sl(k, off):
+                return slice(c[k] + off + 1, c[k] + off + 2 * A_dims[k], 2)
 
-            def nb_slice(t):
-                sl = tuple(
-                    slice(1 + t[k], 1 + t[k] + 2 * A_dims[k] - 1, 2) for k in range(d)
-                )
-                return block[sl].reshape(A, cap, d + 2)
-
-            center = nb_slice((0,) * d)  # [A, cap, d+2], updated per sub-move
-            sp_c = center[..., d].astype(jnp.int32)  # -1 == empty (static)
-            idx_c = center[..., d + 1].astype(jnp.int32)  # id lane (static)
+            csl = tuple(sl(k, 0) for k in range(d))
+            center = padded[(slice(None),) + csl].reshape(d + 1, A, cap)
+            sp_c = center[d]  # -1.0 == empty slot (static across inner)
+            center_pos = [center[j] for j in range(d)]
             # the 26 surrounding blocks never contain another ACTIVE cell, so
             # they are static across the inner sub-moves
             others = jnp.concatenate(
-                [nb_slice(t) for i, t in enumerate(offsets) if i != center_idx],
-                axis=1,
-            )  # [A, 26*cap, d+2]
-            pos_o = others[..., :d]
-            sp_o = others[..., d].astype(jnp.int32)
+                [
+                    padded[(slice(None),) + tuple(sl(k, t[k]) for k in range(d))]
+                    .reshape(d + 1, A, cap)
+                    for t in offsets
+                ],
+                axis=-1,
+            )  # [d+1, A, 26*cap]
+            pos_o = others[:d]
+            sp_o = others[d]
             valid_o = sp_o >= 0
-
-            coords = jnp.asarray(base_coords, jnp.int32) + cbits[None, :]  # [A, d]
-            flat = coords[:, 0]
-            for k in range(1, d):
-                flat = flat * spec.ncells[k] + coords[:, k]
 
             occ = jnp.sum((sp_c >= 0).astype(jnp.int32), axis=-1)  # [A]
             occupied = occ > 0
-            slot_iota = jnp.arange(cap, dtype=jnp.int32)
-            iota_n = jnp.arange(n, dtype=jnp.int32)
-
-            position = system.position
-            energy = system.energy
-            att = jnp.zeros((), cb.attempted.dtype)
-            acc = jnp.zeros((), cb.accepted.dtype)
+            coords = jnp.asarray(base_coords + np.asarray(c), jnp.int32)  # [A, d]
 
             for kin in range(inner):
                 # --- pick one particle per occupied active cell -------------
                 # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
-                r = jnp.floor(u_pick_s[kin] * occ.astype(dt)).astype(jnp.int32)
+                r = jnp.floor(up_c[kin] * occ.astype(dt)).astype(jnp.int32)
                 pick = slot_iota[None, :] == r[:, None]  # [A, cap]
-                pos_c = center[..., :d]
-                x_a = jnp.sum(jnp.where(pick[..., None], pos_c, 0.0), axis=1)
-                s_a = jnp.sum(jnp.where(pick, sp_c, 0), axis=1)
-                id_a = jnp.sum(jnp.where(pick, idx_c, 0), axis=1)
+                x_a = [
+                    jnp.sum(jnp.where(pick, center_pos[j], 0.0), axis=-1)
+                    for j in range(d)
+                ]  # d x [A]
+                s_a = jnp.sum(jnp.where(pick, sp_c, 0.0), axis=-1)  # [A] float
 
                 # --- proposal: Gaussian, auto-reject on cell exit -----------
-                delta = sigma * delta_s[kin]
-                x_new = x_a + delta
-                in_cell = jnp.all(
-                    _cell_vec(x_new, shift, box, spec) == coords, axis=-1
-                )
+                # (positions are already in the shifted frame; NO clip — a
+                # clip would silently extend edge cells past the box)
+                x_new = [x_a[j] + sigma * dl_c[kin, j] for j in range(d)]
+                in_cell = occupied
+                for j in range(d):
+                    cj = jnp.floor(
+                        x_new[j] / box[j] * spec.ncells[j]
+                    ).astype(jnp.int32)
+                    in_cell = in_cell & (cj == coords[:, j])
 
                 # --- ΔE: own (live) block + static neighbour blocks ---------
                 if use_pallas:
                     from . import pallas_kernels as PK
 
-                    nb_flat = jnp.concatenate([center, others], axis=1)
-                    planes = jnp.moveaxis(nb_flat[..., : d + 1], -1, 0)
-                    sp_pl = planes[d]
+                    nb = jnp.concatenate(
+                        [jnp.stack(center_pos + [sp_c]), others], axis=-1
+                    )  # [d+1, A, 27*cap]
                     self_m = jnp.concatenate(
                         [pick, jnp.zeros((A, 26 * cap), bool)], axis=1
                     )
-                    valid_m = (sp_pl >= 0) & ~self_m
-                    act = jnp.concatenate(
-                        [x_a, x_new, s_a.astype(dt)[:, None],
-                         jnp.zeros((A, 7 - 2 * d), dt)],
+                    valid_m = (nb[d] >= 0) & ~self_m
+                    act = jnp.stack(
+                        x_a + x_new + [s_a] + [jnp.zeros((A,), dt)] * (7 - 2 * d),
                         axis=1,
-                    )
+                    )  # [A, 8]
                     de = PK.delta_e_planes(
-                        planes,
+                        nb,
                         act,
                         valid_m.astype(dt),
                         PK.pack_table(table, dt),
@@ -369,64 +414,94 @@ def build_hyper_sweep_fn(
                 else:
                     de = jnp.zeros((A,), dt)
                     for pos_nb, sp_nb, valid in (
-                        (pos_c, sp_c, (sp_c >= 0) & ~pick),
+                        (center_pos, sp_c, (sp_c >= 0) & ~pick),
                         (pos_o, sp_o, valid_o),
                     ):
-                        p = _pair_params(table, s_a[:, None], jnp.maximum(sp_nb, 0), pf)
-                        r2_old = dist2(pos_nb, x_a[:, None, :], box)
-                        r2_new = dist2(pos_nb, x_new[:, None, :], box)
-                        du = pair_potential(r2_new, p, kp) - pair_potential(r2_old, p, kp)
+                        p = _pair_params(
+                            table, s_a[:, None], jnp.maximum(sp_nb, 0.0), pf
+                        )
+                        r2o = jnp.zeros(sp_nb.shape, dt)
+                        r2n = jnp.zeros(sp_nb.shape, dt)
+                        for j in range(d):
+                            # plain differences: halos are image-corrected
+                            dxo = pos_nb[j] - x_a[j][:, None]
+                            dxn = pos_nb[j] - x_new[j][:, None]
+                            r2o = r2o + dxo * dxo
+                            r2n = r2n + dxn * dxn
+                        du = pair_potential(r2n, p, kp) - pair_potential(r2o, p, kp)
                         de = de + jnp.sum(
                             jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
                         )
 
                 # --- Metropolis accept (overlap → de huge → reject) ---------
-                accept = (
-                    (jnp.log(u_acc_s[kin]) < -de / system.temperature)
-                    & in_cell
-                    & occupied
-                )
+                accept = (jnp.log(ua_c[kin]) < -de / temperature) & in_cell
                 booked = jnp.where(
                     accept & jnp.isfinite(de), de, jnp.zeros_like(de)
                 )
 
-                # --- apply: live center update + one-hot position scatter ----
-                upd = accept.astype(dt)
-                dxa = (x_new - x_a) * upd[:, None]  # [A, d]
-                moved = (pick & accept[:, None])[..., None]  # [A, cap, 1]
-                center = center.at[..., :d].set(
-                    jnp.where(moved, x_new[:, None, :], pos_c)
-                )
-                onehot_n = (iota_n[None, :] == id_a[:, None]).astype(dt)  # [A, N]
-                position = position + jnp.einsum("an,ad->nd", onehot_n, dxa)
+                # --- apply: in-register center update ------------------------
+                moved = pick & accept[:, None]  # [A, cap]
+                center_pos = [
+                    jnp.where(moved, x_new[j][:, None], center_pos[j])
+                    for j in range(d)
+                ]
                 energy = energy + jnp.sum(booked)
                 att = att + jnp.sum(occupied.astype(att.dtype))
                 acc = acc + jnp.sum(accept.astype(acc.dtype))
 
-            # --- write the live center rows back into the payload ------------
-            iota_c = jnp.arange(spec.total, dtype=jnp.int32)
-            onehot_c = (iota_c[None, :] == flat[:, None]).astype(dt)  # [A, total]
-            rows = center.reshape(A, cap * (d + 2))
-            scattered = jnp.einsum("ac,ax->cx", onehot_c, rows).reshape(
-                spec.total, cap, d + 2
+            # --- write the live center back; refresh one halo face per dim --
+            new_center = jnp.stack(center_pos).reshape(
+                (d,) + tuple(A_dims) + (cap,)
             )
-            is_active = jnp.sum(onehot_c, axis=0).reshape(spec.total, 1, 1) > 0
-            payload = jnp.where(is_active, scattered, payload)
+            padded = padded.at[(slice(0, d),) + csl].set(new_center)
+            for k in range(d):
+                ax = 1 + k
+                nc_k = spec.ncells[k]
+                if c[k] == 0:
+                    # actives include grid coord 0 -> refresh right halo,
+                    # image-corrected (+L on plane k)
+                    src = jax.lax.index_in_dim(padded, 1, ax, keepdims=False)
+                    src = src.at[k].add(box[k])
+                    padded = jax.lax.dynamic_update_index_in_dim(
+                        padded, src, nc_k + 1, ax
+                    )
+                else:
+                    # actives include grid coord nc-1 -> refresh left halo (-L)
+                    src = jax.lax.index_in_dim(padded, nc_k, ax, keepdims=False)
+                    src = src.at[k].add(-box[k])
+                    padded = jax.lax.dynamic_update_index_in_dim(padded, src, 0, ax)
+            return padded, energy, att, acc
 
-            system = system.replace(position=position, energy=energy)
-            return (system, payload, idx), (att, acc)
+        def round_body(carry, rnd):
+            padded, energy, att, acc = carry
+            up_r, dl_r, ua_r = rnd
+            for ci, c in enumerate(colors):  # static unroll over 2^d colors
+                padded, energy, att, acc = color_substep(
+                    padded, energy, att, acc, c, up_r[ci], dl_r[ci], ua_r[ci]
+                )
+            return (padded, energy, att, acc), None
 
-        (system, payload, idx), (att_s, acc_s) = jax.lax.scan(
-            substep, (cb.system, payload0, idx0), (colors, u_pick, deltas, u_acc)
+        att0 = jnp.zeros((), cb.attempted.dtype)
+        acc0 = jnp.zeros((), cb.accepted.dtype)
+        (padded, energy, att, acc), _ = jax.lax.scan(
+            round_body,
+            (padded0, cb.system.energy, att0, acc0),
+            (u_pick, deltas, u_acc),
         )
+
+        interior = (slice(None),) + tuple(slice(1, -1) for _ in range(d))
+        planes = padded[interior].reshape(d + 1, spec.total, cap)
+        position = unbin_positions(planes, slot, shift, box)
+        system = cb.system.replace(position=position, energy=energy)
         return cb.replace(
             system=system,
             key=key,
             shift=shift,
-            payload=payload,
+            planes=planes,
             idx=idx,
-            attempted=cb.attempted + jnp.sum(att_s),
-            accepted=cb.accepted + jnp.sum(acc_s),
+            slot=slot,
+            attempted=cb.attempted + att,
+            accepted=cb.accepted + acc,
             overflow=cb.overflow | ovf,
         )
 

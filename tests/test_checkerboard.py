@@ -61,12 +61,15 @@ def test_incremental_energy_matches_oracle():
     np.testing.assert_allclose(e_inc, e_ref, rtol=1e-9, atol=1e-7)
     # some moves must actually have been accepted for this to mean anything
     assert int(cb.accepted) > 50
-    # payload stays consistent with positions
-    pay = np.asarray(cb.payload)
+    # plane payload (shifted frame) stays consistent with global positions
+    pay = np.moveaxis(np.asarray(cb.planes), 0, -1)  # [total, cap, d+1]
     idx = np.asarray(cb.idx)
     pos = np.asarray(cb.system.position)
+    box = np.asarray(cb.system.box)
+    shift = np.asarray(cb.shift)
     mask = idx >= 0
-    np.testing.assert_allclose(pay[..., :d][mask], pos[idx[mask]], atol=1e-12)
+    glob = (pay[..., :d][mask] + shift) % box
+    np.testing.assert_allclose(glob, pos[idx[mask]], atol=1e-9)
     # every particle is binned exactly once
     ids = np.sort(idx[mask])
     np.testing.assert_array_equal(ids, np.arange(n))
