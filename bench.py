@@ -27,7 +27,7 @@ CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
 MODE = os.environ.get("BENCH_MODE", "cb")
 SIGMA = float(os.environ.get("BENCH_SIGMA", 0.10))
-REBIN = int(os.environ.get("BENCH_REBIN", 4))  # sweeps per rebin block (cb mode)
+REBIN = int(os.environ.get("BENCH_REBIN", 16))  # sweeps per rebin block (cb mode)
 JULIA_BASELINE_SWEEPS_PER_S = 200.0
 
 
@@ -68,13 +68,19 @@ def main():
     if MODE == "cb":
         from particlesmc_tpu.moves import checkerboard as CB
 
-        spec = CB.make_cb_spec(__import__("numpy").asarray(st.box), table.max_cutoff, N)
+        cap_env = os.environ.get("BENCH_CAP")
+        spec = CB.make_cb_spec(
+            __import__("numpy").asarray(st.box),
+            table.max_cutoff,
+            N,
+            cap=int(cap_env) if cap_env else None,
+        )
         hs = CB.build_hyper_sweep_fn(
             spec,
             table,
             N,
             use_pallas=bool(int(os.environ.get("BENCH_PALLAS", "0"))),
-            inner=int(os.environ.get("BENCH_INNER", "4")),
+            inner=int(os.environ.get("BENCH_INNER", "8")),
             sweeps=REBIN,
         )
 
@@ -121,14 +127,20 @@ def main():
     jax.block_until_ready(state.system.position)
     compile_s = time.perf_counter() - t0
 
+    att0 = float(jnp.sum(state.attempted))
     t0 = time.perf_counter()
     for i in range(SWEEPS_TIMED):
         state = advance(state, i + 1)
     jax.block_until_ready(state.system.position)
     elapsed = time.perf_counter() - t0
 
-    sweeps_per_step = REBIN if MODE == "cb" else 1  # one cb step = REBIN sweeps
-    sweeps_per_s = CHAINS * SWEEPS_TIMED * sweeps_per_step / elapsed
+    # one sweep = N attempted moves (the reference convention, sweepstep=N,
+    # src/ParticlesMC.jl:246) — counted from the kernel's attempt counter so
+    # rounding of rounds*colors*inner*cells up to >= N is not under-reported
+    attempted = float(jnp.sum(state.attempted)) - att0
+    sweeps_per_s = attempted / N / elapsed
+    if MODE == "cb" and bool(jnp.any(state.overflow)):
+        print("# WARNING: cell-bucket overflow — result invalid", file=sys.stderr)
     print(
         json.dumps(
             {

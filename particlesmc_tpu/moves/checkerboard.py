@@ -255,6 +255,42 @@ def _pair_params(table: PairTable, sa, sb, fields=_PAIR_FIELDS):
     return _P(**{f: sel(getattr(table, f)) for f in fields})
 
 
+def _pair_params_rows(table: PairTable, sp_nb, fields):
+    """Per-mover-species parameter bundles against a STATIC neighbour-species
+    plane: rows[s].field == table.field[s, sp_nb]. The neighbour species of a
+    checkerboard substep never change between inner sub-moves (displacement
+    moves don't touch species), so hoisting this out of the inner loop removes
+    the full S x S where-chain from the hot path; only the (S-1)-deep select
+    on the mover's species (_select_row) remains per sub-move."""
+    s_count = table.n_species
+    rows = []
+    for s1 in range(s_count):
+
+        def sel(a, s1=s1):
+            acc = jnp.full(jnp.shape(sp_nb), a[s1, 0], a.dtype)
+            for s2 in range(1, s_count):
+                acc = jnp.where(sp_nb == s2, a[s1, s2], acc)
+            return acc
+
+        rows.append(_P(**{f: sel(getattr(table, f)) for f in fields}))
+    return rows
+
+
+def _select_row(rows, sa, fields):
+    """rows[sa] per field via an (S-1)-deep where chain on the mover species
+    (`sa` may be float; small ids compare exactly)."""
+    if len(rows) == 1:
+        return rows[0]
+
+    def sel(f):
+        acc = getattr(rows[0], f)
+        for s in range(1, len(rows)):
+            acc = jnp.where(sa == s, getattr(rows[s], f), acc)
+        return acc
+
+    return _P(**{f: sel(f) for f in fields})
+
+
 # ---------------------------------------------------------------------------
 # The hyper-sweep
 # ---------------------------------------------------------------------------
@@ -365,6 +401,12 @@ def build_hyper_sweep_fn(
             occupied = occ > 0
             coords = jnp.asarray(base_coords + np.asarray(c), jnp.int32)  # [A, d]
 
+            # species planes are static across the inner sub-moves: hoist the
+            # neighbour-side parameter selection out of the hot loop
+            if not use_pallas:
+                rows_c = _pair_params_rows(table, jnp.maximum(sp_c, 0.0), pf)
+                rows_o = _pair_params_rows(table, jnp.maximum(sp_o, 0.0), pf)
+
             for kin in range(inner):
                 # --- pick one particle per occupied active cell -------------
                 # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
@@ -413,15 +455,13 @@ def build_hyper_sweep_fn(
                     )[:, 0]
                 else:
                     de = jnp.zeros((A,), dt)
-                    for pos_nb, sp_nb, valid in (
-                        (center_pos, sp_c, (sp_c >= 0) & ~pick),
-                        (pos_o, sp_o, valid_o),
+                    for pos_nb, rows_nb, valid in (
+                        (center_pos, rows_c, (sp_c >= 0) & ~pick),
+                        (pos_o, rows_o, valid_o),
                     ):
-                        p = _pair_params(
-                            table, s_a[:, None], jnp.maximum(sp_nb, 0.0), pf
-                        )
-                        r2o = jnp.zeros(sp_nb.shape, dt)
-                        r2n = jnp.zeros(sp_nb.shape, dt)
+                        p = _select_row(rows_nb, s_a[:, None], pf)
+                        r2o = jnp.zeros(valid.shape, dt)
+                        r2n = jnp.zeros(valid.shape, dt)
                         for j in range(d):
                             # plain differences: halos are image-corrected
                             dxo = pos_nb[j] - x_a[j][:, None]
