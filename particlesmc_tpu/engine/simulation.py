@@ -171,10 +171,10 @@ class Simulation:
             self.mc = jax.jit(
                 jax.vmap(lambda st, k: CBK.init_cb_state(st, cb_spec, k))
             )(chains.states, keys)
-            rebin_every = max(1, int(chains.list_parameters.get("rebin_every", 4)))
+            rebin_every = max(1, int(chains.list_parameters.get("rebin_every", 8)))
             cb_kwargs = dict(
                 use_pallas=bool(chains.list_parameters.get("use_pallas", False)),
-                inner=int(chains.list_parameters.get("inner", 4)),
+                inner=int(chains.list_parameters.get("inner", 8)),
             )
             # one jitted block per distinct sweeps-per-rebin size; the argsort
             # rebin is amortised over `rebin_every` sweeps within a block
