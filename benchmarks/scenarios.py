@@ -63,7 +63,7 @@ def run_scenario(name, n, d, density, temperature, model, fractions, cell, chain
     pos, species = lattice_config(n, d, density, fractions, rng)
     table = model(dtype)
     st = make_system(pos, species, density, temperature, dtype=dtype)
-    spec = NB.make_spec(np.asarray(st.box), table.max_cutoff, n, density) if cell else None
+    spec = NB.make_spec(np.asarray(st.box), table.max_cutoff, n) if cell else None
     pool = (MB.displacement(0.1),)
     config = K.KernelConfig(pool=pool, table=table, cell_spec=spec)
     params = MB.init_pool_params(pool, dtype)

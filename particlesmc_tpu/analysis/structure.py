@@ -88,11 +88,10 @@ def self_intermediate_scattering(
     pos = np.asarray(positions, np.float64)  # [T, N, d]
     box = np.asarray(box, np.float64)
     d = pos.shape[-1]
-    base = 2 * np.pi / box[0]
-    nmax = int(np.ceil(k_mod / base)) + 2
-    rng = range(-nmax, nmax + 1)
+    base = 2 * np.pi / box  # per-dimension fundamental wavevector [d]
+    nmax = [int(np.ceil(k_mod / b)) + 2 for b in base]
+    grids = np.meshgrid(*[list(range(-m, m + 1)) for m in nmax], indexing="ij")
     ks = []
-    grids = np.meshgrid(*[list(rng)] * d, indexing="ij")
     for idx in np.stack([g.reshape(-1) for g in grids], -1):
         k = base * idx
         knorm = np.linalg.norm(k)

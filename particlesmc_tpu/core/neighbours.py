@@ -55,7 +55,7 @@ class CellList:
     overflow: jax.Array  # bool scalar — sticky capacity-exceeded flag
 
 
-def make_spec(box, rcut: float, n: int, density: float, cap: Optional[int] = None) -> Optional[CellSpec]:
+def make_spec(box, rcut: float, n: int, cap: Optional[int] = None) -> Optional[CellSpec]:
     """Choose the grid for a host-side box. Returns None when a cell grid
     cannot beat O(N) (fewer than 3 cells in some dimension — mirrors the
     auto-list heuristic fallback, reference src/IO/IO.jl:308-310)."""

@@ -107,21 +107,31 @@ class Simulation:
         # --- static kernel config -----------------------------------------
         n = chains.n_particles
         box0 = np.asarray(chains.states.box[0])
-        if not np.allclose(np.asarray(chains.states.box), box0[None, :]):
-            raise ValueError("All chains must share the same box for batched kernels")
+        # Per-chain boxes (mixed-density ensembles, reference src/IO/IO.jl:319-327
+        # builds one System per chain each with its own box) are supported on the
+        # dense sequential path: the kernels are vmapped over the chain axis and
+        # read st.box per chain. Grid-based backends bake ONE static grid into
+        # the jitted kernel, so they require a shared box.
+        self.shared_box = bool(
+            np.allclose(np.asarray(chains.states.box), box0[None, :])
+        )
         cell_spec = None
         force_cells = bool(chains.list_parameters.get("force_cells", False))
         if chains.list_type in ("cell", "verlet") and (
             n > K.DENSE_DELTA_MAX or force_cells
         ):
+            if not self.shared_box:
+                raise ValueError(
+                    "cell-list mode requires all chains to share one box "
+                    "(the grid is static per jitted kernel); use list_type "
+                    "'dense' for per-chain boxes"
+                )
             # Below DENSE_DELTA_MAX the gather-free dense ΔE outruns cell
             # candidates on TPU (vector-index gathers serialise); the user's
             # list_type then only matters above the threshold (or when
             # list_parameters.force_cells is set, e.g. for parity testing).
             cap = chains.list_parameters.get("cap")
-            cell_spec = NB.make_spec(
-                box0, chains.table.max_cutoff, n, float(np.asarray(chains.states.density)[0]), cap
-            )
+            cell_spec = NB.make_spec(box0, chains.table.max_cutoff, n, cap)
             if cell_spec is None and verbose:
                 print("cell grid too small; falling back to dense candidates")
         self.config = K.KernelConfig(
@@ -157,6 +167,11 @@ class Simulation:
                 raise ValueError("parallel_moves does not support molecular systems yet")
             if any(a.name == "PolicyGradientEstimator" for a in algos):
                 raise ValueError("parallel_moves is incompatible with PGMC")
+            if not self.shared_box:
+                raise ValueError(
+                    "parallel_moves requires all chains to share one box "
+                    "(the checkerboard grid is static per jitted kernel)"
+                )
             cb_spec = CBK.make_cb_spec(
                 box0, chains.table.max_cutoff, n,
                 chains.list_parameters.get("cap"),

@@ -174,7 +174,9 @@ def _propose_displacement(key, st: SystemState, cell, params, cand_fn):
 
 def _propose_swap_uniform(key, st: SystemState, cell, params, cand_fn, s1: int, s2: int):
     """DiscreteSwap + DoubleUniform (reference src/moves.jl:226-241):
-    one particle uniform from each species population."""
+    one particle uniform from each species population. A swap on an empty
+    species population is rejected outright (log q_rev = -inf) instead of
+    silently proposing a clamped index."""
     k1, k2 = jax.random.split(key)
     n1 = jnp.sum(st.species == s1)
     n2 = jnp.sum(st.species == s2)
@@ -183,7 +185,8 @@ def _propose_swap_uniform(key, st: SystemState, cell, params, cand_fn, s1: int, 
     i = _nth_member(st.species, s1, r1)
     j = _nth_member(st.species, s2, r2)
     dt = st.position.dtype
-    logq = -jnp.log((n1 * n2).astype(dt))
+    valid = (n1 > 0) & (n2 > 0)
+    logq = -jnp.log(jnp.maximum(n1 * n2, 1).astype(dt))
     d = st.position.shape[-1]
     return Proposal(
         i=i,
@@ -193,7 +196,7 @@ def _propose_swap_uniform(key, st: SystemState, cell, params, cand_fn, s1: int, 
         sp_j=st.species[i],
         delta=jnp.zeros((d,), dt),
         log_q_fwd=logq,
-        log_q_rev=logq,
+        log_q_rev=jnp.where(valid, logq, jnp.asarray(-jnp.inf, dt)),
     )
 
 
@@ -250,11 +253,15 @@ def _propose_swap_energy_bias(
     neg = jnp.asarray(-jnp.inf, dt)
     i = jax.random.categorical(k1, jnp.where(m1, th1 * e_all, neg))
     j = jax.random.categorical(k2, jnp.where(m2, th2 * e_all, neg))
-    i = i.astype(jnp.int32)
-    j = j.astype(jnp.int32)
+    i = jnp.clip(i, 0, e_all.shape[0] - 1).astype(jnp.int32)
+    j = jnp.clip(j, 0, e_all.shape[0] - 1).astype(jnp.int32)
     _, log_q_fwd, log_q_rev = _energy_bias_logq(
         st, cell, params, cand_fn, s1, s2, table, i, j
     )
+    # empty population: categorical over all -inf is undefined — reject
+    valid = jnp.any(m1) & jnp.any(m2)
+    log_q_fwd = jnp.where(valid, log_q_fwd, jnp.zeros_like(log_q_fwd))
+    log_q_rev = jnp.where(valid, log_q_rev, neg)
 
     d = st.position.shape[-1]
     return Proposal(

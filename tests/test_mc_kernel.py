@@ -91,7 +91,7 @@ def test_dense_vs_cell_trajectory_parity():
         MB.displacement(0.1, probability=0.5),
         MB.discrete_swap(0, 1, probability=0.5),
     )
-    spec = NB.make_spec(np.asarray(st.box), table.max_cutoff, 216, 0.5)
+    spec = NB.make_spec(np.asarray(st.box), table.max_cutoff, 216)
     assert spec is not None
 
     mc_dense = _run(st, table, pool, 3, seed=11, cell_spec=None)

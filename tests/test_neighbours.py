@@ -17,17 +17,17 @@ def _random_system(n=100, d=3, box_l=9.0, seed=0):
 
 
 def test_spec_sizing():
-    spec = NB.make_spec(np.full(3, 9.0), rcut=2.5, n=100, density=100 / 9.0**3)
+    spec = NB.make_spec(np.full(3, 9.0), rcut=2.5, n=100)
     assert spec is not None
     assert spec.ncells == (3, 3, 3)
-    spec2 = NB.make_spec(np.full(3, 6.0), rcut=2.5, n=100, density=1.0)
+    spec2 = NB.make_spec(np.full(3, 6.0), rcut=2.5, n=100)
     assert spec2 is None  # fewer than 3 cells → dense fallback
 
 
 def test_candidates_complete():
     """Every particle within rcut of a query point must appear in candidates."""
     pos, box = _random_system()
-    spec = NB.make_spec(np.asarray(box), 2.5, pos.shape[0], 0.1)
+    spec = NB.make_spec(np.asarray(box), 2.5, pos.shape[0])
     cl = NB.build_cell_list(pos, box, spec)
     assert not bool(cl.overflow)
     for qi in [0, 13, 57, 99]:
@@ -41,7 +41,7 @@ def test_candidates_complete():
 
 def test_counts_match():
     pos, box = _random_system(n=200)
-    spec = NB.make_spec(np.asarray(box), 2.5, 200, 0.3)
+    spec = NB.make_spec(np.asarray(box), 2.5, 200)
     cl = NB.build_cell_list(pos, box, spec)
     assert int(jnp.sum(cl.count)) == 200
     # each particle appears exactly once across buckets
@@ -54,7 +54,7 @@ def test_incremental_matches_rebuild():
     """Random particle moves maintained incrementally must match a fresh build
     (up to bucket ordering)."""
     pos, box = _random_system(n=100)
-    spec = NB.make_spec(np.asarray(box), 2.5, 100, 0.1)
+    spec = NB.make_spec(np.asarray(box), 2.5, 100)
     cl = NB.build_cell_list(pos, box, spec)
     rng = np.random.default_rng(1)
 
