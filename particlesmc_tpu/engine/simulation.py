@@ -159,10 +159,17 @@ class Simulation:
             # ~n_active independent moves per substep instead of one.
             from ..moves import checkerboard as CBK
 
-            if len(self.pool) != 1 or self.pool[0].action != "displacement":
-                raise ValueError(
-                    "parallel_moves supports a single Displacement move pool"
+            for mv in self.pool:
+                ok = mv.action == "displacement" or (
+                    mv.action == "swap" and mv.policy == "double_uniform"
                 )
+                if not ok:
+                    raise ValueError(
+                        f"parallel_moves supports Displacement and "
+                        f"DiscreteSwap/DoubleUniform pools; {mv.action}/"
+                        f"{mv.policy} needs the sequential kernel "
+                        f"(parallel=false)"
+                    )
             if chains.mol_start is not None:
                 raise ValueError("parallel_moves does not support molecular systems yet")
             if any(a.name == "PolicyGradientEstimator" for a in algos):
@@ -183,13 +190,15 @@ class Simulation:
                     "parallel_moves to use the sequential kernel"
                 )
             self.cb_spec = cb_spec
+            nm = len(self.pool)
             self.mc = jax.jit(
-                jax.vmap(lambda st, k: CBK.init_cb_state(st, cb_spec, k))
+                jax.vmap(lambda st, k: CBK.init_cb_state(st, cb_spec, k, nm))
             )(chains.states, keys)
             rebin_every = max(1, int(chains.list_parameters.get("rebin_every", 8)))
             cb_kwargs = dict(
                 use_pallas=bool(chains.list_parameters.get("use_pallas", False)),
                 inner=int(chains.list_parameters.get("inner", 8)),
+                pool=self.pool,
             )
             # one jitted block per distinct sweeps-per-rebin size; the argsort
             # rebin is amortised over `rebin_every` sweeps within a block
@@ -212,19 +221,19 @@ class Simulation:
                     block = hs_block(rebin_every)
                     rem_block = hs_block(rem) if rem else None
 
-                    def chunk(mc, sigma):
+                    def chunk(mc, params):
                         if nb:
                             def body(carry, _):
-                                return block(carry, sigma), None
+                                return block(carry, params), None
 
                             mc, _ = jax.lax.scan(body, mc, None, length=nb)
                         if rem_block is not None:
-                            mc = rem_block(mc, sigma)
+                            mc = rem_block(mc, params)
                         return mc
 
                     f = jax.jit(jax.vmap(chunk, in_axes=(0, None)))
                     self._chunk_cache[n_sweeps] = f
-                return f(mc, params[0]["sigma"])
+                return f(mc, params)
 
             self._run_chunk = run_chunk
         else:
@@ -356,8 +365,7 @@ class Simulation:
                         with open(self._chain_file(k, f"{name}.dat"), "a") as f:
                             f.write(f"{t} {vals[k]:.12g}\n")
             elif a.name == "StoreAcceptance":
-                # CBState keeps scalar per-chain counters, MCState per-move
-                # vectors; normalise to a [n_moves] array either way.
+                # both MCState and CBState keep [n_moves] per-chain counters
                 att = np.atleast_1d(np.asarray(self.mc.attempted).sum(axis=0))
                 acc = np.atleast_1d(np.asarray(self.mc.accepted).sum(axis=0))
                 for m in range(len(self.pool)):

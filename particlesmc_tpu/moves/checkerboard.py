@@ -122,8 +122,8 @@ class CBState:
     planes: jax.Array  # [d+1, nc_total, cap]: x..z planes (SHIFTED frame) + species
     idx: jax.Array  # [nc_total, cap] i32 particle ids, -1 padded
     slot: jax.Array  # [n] i32 flat payload slot of each particle
-    attempted: jax.Array  # displacement-move counters
-    accepted: jax.Array
+    attempted: jax.Array  # [n_moves] per-move attempt counters
+    accepted: jax.Array  # [n_moves]
     overflow: jax.Array  # sticky bool
 
 
@@ -199,7 +199,7 @@ def unbin_positions(planes, slot, shift, box):
     return fold_back(x, box)
 
 
-def init_cb_state(system: SystemState, spec: CBSpec, seed) -> CBState:
+def init_cb_state(system: SystemState, spec: CBSpec, seed, n_moves: int = 1) -> CBState:
     key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
     d = system.position.shape[-1]
     shift = jnp.zeros((d,), system.position.dtype)
@@ -212,8 +212,8 @@ def init_cb_state(system: SystemState, spec: CBSpec, seed) -> CBState:
         planes=planes,
         idx=idx,
         slot=slot,
-        attempted=jnp.zeros((), cdt),
-        accepted=jnp.zeros((), cdt),
+        attempted=jnp.zeros((n_moves,), cdt),
+        accepted=jnp.zeros((n_moves,), cdt),
         overflow=overflow,
     )
 
@@ -291,6 +291,64 @@ def _select_row(rows, sa, fields):
     return _P(**{f: sel(f) for f in fields})
 
 
+def _pair_params_static_row(table: PairTable, s_static: int, sp_nb, fields):
+    """table.field[s_static, sp_nb] for a STATIC mover species against a
+    (possibly live) neighbour-species plane — one (S-1)-where chain per field.
+    Used by swap sub-moves, whose two mover species are compile-time ints."""
+    s_count = table.n_species
+
+    def sel(a):
+        acc = jnp.full(jnp.shape(sp_nb), a[s_static, 0], a.dtype)
+        for s2 in range(1, s_count):
+            acc = jnp.where(sp_nb == s2, a[s_static, s2], acc)
+        return acc
+
+    return _P(**{f: sel(getattr(table, f)) for f in fields})
+
+
+# ---------------------------------------------------------------------------
+# Static move schedule
+# ---------------------------------------------------------------------------
+
+
+def _slot_schedule(pool, C: int, inner: int):
+    """Assign each of the C*inner sub-move slots of a round a pool index.
+
+    The reference draws the move type per step from the pool probabilities
+    (src/ParticlesMC.jl:246 via StatsBase.sample); a traced draw would force
+    both ΔE paths through a select on TPU, so the mixture is realised as a
+    STATIC schedule instead: largest-remainder allocation of the C*inner
+    slots to the moves (every move with p > 0 gets >= 1 slot), smoothly
+    interleaved. A fixed composition of π-invariant kernels is itself
+    π-invariant, so this preserves correctness while matching the requested
+    mixture to 1/(C*inner) resolution per round (exactly, over a round)."""
+    import numpy as _np
+
+    slots = C * inner
+    n_moves = len(pool)
+    if n_moves > slots:
+        raise ValueError(
+            f"move pool has {n_moves} moves but a round only has {slots} "
+            f"sub-move slots; raise `inner`"
+        )
+    p = _np.asarray([m.probability for m in pool], _np.float64)
+    p = p / p.sum()
+    counts = _np.floor(p * slots).astype(int)
+    rem = slots - int(counts.sum())
+    order = _np.argsort(-(p * slots - counts))
+    for k in range(rem):
+        counts[order[k % n_moves]] += 1
+    while (counts == 0).any():  # every move must fire at least once per round
+        counts[int(_np.argmin(counts))] += 1
+        counts[int(_np.argmax(counts))] -= 1
+    sched, used = [], _np.zeros(n_moves)
+    for t in range(slots):
+        m = int(_np.argmax(counts * (t + 1) / slots - used))
+        sched.append(m)
+        used[m] += 1
+    return _np.asarray(sched, int).reshape(C, inner)
+
+
 # ---------------------------------------------------------------------------
 # The hyper-sweep
 # ---------------------------------------------------------------------------
@@ -304,10 +362,34 @@ def build_hyper_sweep_fn(
     use_pallas: bool = False,
     inner: int = 4,
     sweeps: int = 1,
+    pool=None,
 ):
-    """Returns hyper_sweep(cb_state, sigma) -> cb_state: one rebin followed
-    by `sweeps` hyper-sweeps of ~sweepstep attempted moves each (default n),
-    then one global position sync.
+    """Returns the hyper-sweep kernel: one rebin followed by `sweeps`
+    hyper-sweeps of ~sweepstep attempted moves each (default n), then one
+    global position/species sync.
+
+    Call signature: with `pool=None` (legacy, single Displacement move) the
+    returned fn is `hyper_sweep(cb_state, sigma)`. With a `pool` of Move
+    specs it is `hyper_sweep(cb_state, pool_params)` where pool_params is
+    the tuple-of-dicts from moves.base.init_pool_params; counters in CBState
+    must then be [len(pool)] (init_cb_state(..., n_moves=len(pool))).
+
+    Supported pool moves: Displacement/SimpleGaussian and
+    DiscreteSwap/DoubleUniform (mixed freely, reference mixture semantics
+    src/ParticlesMC.jl:246). The move mixture is realised as a STATIC
+    per-slot schedule over the C*inner sub-move slots of a round
+    (_slot_schedule) — zero branch overhead since both loops are statically
+    unrolled. A swap slot picks one particle of each species uniformly
+    WITHIN each active cell and swaps their labels: selection probabilities
+    are symmetric (the cell's composition is preserved), both movers sit in
+    the same active cell so cross-cell independence holds, and the mutual
+    (i, j) pair term cancels exactly (the table is symmetric), so
+    ΔE = Δ_i + Δ_j with each sum excluding the partner. Cells missing either
+    species auto-reject. This differs from the reference's GLOBAL uniform
+    pair selection (src/moves.jl:226-241) as a proposal distribution but
+    targets the same ensemble; parity is established statistically
+    (tests/test_checkerboard.py). EnergyBias swaps and MoleculeFlip remain
+    sequential-kernel-only.
 
     `inner` runs that many SEQUENTIAL Metropolis sub-moves per active cell
     per substep against the once-extracted neighbour blocks (the active
@@ -320,9 +402,9 @@ def build_hyper_sweep_fn(
     particles stay confined to their cells for the whole block; the shift
     redraw at the next call restores cross-cell diffusion.
 
-    use_pallas fuses the ΔE evaluation into one VMEM-resident pallas kernel
-    (moves/pallas_kernels.py); off-TPU it runs in interpreter mode, so keep
-    it False for CPU production runs."""
+    use_pallas fuses the displacement ΔE evaluation into one VMEM-resident
+    pallas kernel (moves/pallas_kernels.py); off-TPU it runs in interpreter
+    mode, so keep it False for CPU production runs."""
     d = spec.d
     A_dims = spec.active_dims
     A = spec.n_active
@@ -339,13 +421,35 @@ def build_hyper_sweep_fn(
     grids = np.meshgrid(*[2 * np.arange(ak) for ak in A_dims], indexing="ij")
     base_coords = np.stack([g.reshape(-1) for g in grids], axis=-1)  # [A, d]
 
-    def hyper_sweep(cb: CBState, sigma, color_key=None) -> CBState:
-        """Run the block. `color_key` is accepted for backwards compatibility
-        and ignored — the color order is a fixed static cycle (see module
-        docstring for why that is both valid MCMC and TPU-necessary)."""
-        del color_key
+    legacy = pool is None
+    if legacy:
+        from .base import displacement as _mk_disp
+
+        pool = (_mk_disp(1.0),)
+    pool = tuple(pool)
+    n_moves = len(pool)
+    for mv in pool:
+        ok = mv.action == "displacement" or (
+            mv.action == "swap" and mv.policy == "double_uniform"
+        )
+        if not ok:
+            raise ValueError(
+                f"checkerboard backend does not support {mv.action}/{mv.policy}"
+                " — use the sequential kernel (parallel_moves=false)"
+            )
+    has_swap = any(mv.action == "swap" for mv in pool)
+    if use_pallas and has_swap:
+        raise ValueError("use_pallas does not support swap moves yet")
+    schedule = _slot_schedule(pool, C, inner)
+
+    def hyper_sweep_pool(cb: CBState, pool_params) -> CBState:
         dt = cb.system.position.dtype
-        sigma = jnp.asarray(sigma, dt)
+        sigmas = [
+            jnp.asarray(pool_params[m]["sigma"], dt)
+            if pool[m].action == "displacement"
+            else None
+            for m in range(n_moves)
+        ]
         box = cb.system.box
         key, k_shift, k_rand = jax.random.split(cb.key, 3)
         shift = jax.random.uniform(k_shift, (d,), dt) * box
@@ -362,26 +466,35 @@ def build_hyper_sweep_fn(
             padded0 = padded0.at[lo].add(-box[j])
             padded0 = padded0.at[hi].add(box[j])
 
-        # all randomness pregenerated in 3 bulk draws, outside the scan body
+        # all randomness pregenerated in bulk draws, outside the scan body
         R = sweeps * rounds
-        k_pick, k_delta, k_acc = jax.random.split(k_rand, 3)
-        u_pick = jax.random.uniform(k_pick, (R, C, inner, A), dt, maxval=1.0 - 1e-7)
-        deltas = jax.random.normal(k_delta, (R, C, inner, d, A), dt)
-        u_acc = jax.random.uniform(
-            k_acc, (R, C, inner, A), dt, minval=jnp.finfo(dt).tiny
+        k_pick, k_pick2, k_delta, k_acc = jax.random.split(k_rand, 4)
+        rnd = dict(
+            up=jax.random.uniform(k_pick, (R, C, inner, A), dt, maxval=1.0 - 1e-7),
+            dl=jax.random.normal(k_delta, (R, C, inner, d, A), dt),
+            ua=jax.random.uniform(
+                k_acc, (R, C, inner, A), dt, minval=jnp.finfo(dt).tiny
+            ),
         )
+        if has_swap:  # second per-cell pick for the swap partner
+            rnd["up2"] = jax.random.uniform(
+                k_pick2, (R, C, inner, A), dt, maxval=1.0 - 1e-7
+            )
 
         temperature = cb.system.temperature
         slot_iota = jnp.arange(cap, dtype=jnp.int32)
 
-        def color_substep(padded, energy, att, acc, c, up_c, dl_c, ua_c):
+        def color_substep(padded, energy, att, acc, ci, rnd_c):
+            c = colors[ci]
+            col_sched = schedule[ci]  # static [inner] pool indices
+
             # static slice of dim k at cell offset `off` relative to actives
             def sl(k, off):
                 return slice(c[k] + off + 1, c[k] + off + 2 * A_dims[k], 2)
 
             csl = tuple(sl(k, 0) for k in range(d))
             center = padded[(slice(None),) + csl].reshape(d + 1, A, cap)
-            sp_c = center[d]  # -1.0 == empty slot (static across inner)
+            center_sp = center[d]  # -1.0 == empty slot; LIVE if pool has swaps
             center_pos = [center[j] for j in range(d)]
             # the 26 surrounding blocks never contain another ACTIVE cell, so
             # they are static across the inner sub-moves
@@ -396,104 +509,220 @@ def build_hyper_sweep_fn(
             pos_o = others[:d]
             sp_o = others[d]
             valid_o = sp_o >= 0
+            sp_o_safe = jnp.maximum(sp_o, 0.0)
 
-            occ = jnp.sum((sp_c >= 0).astype(jnp.int32), axis=-1)  # [A]
+            # occupancy is static across inner: swaps preserve composition,
+            # displacements are confined to their cell
+            occ = jnp.sum((center_sp >= 0).astype(jnp.int32), axis=-1)  # [A]
             occupied = occ > 0
             coords = jnp.asarray(base_coords + np.asarray(c), jnp.int32)  # [A, d]
 
-            # species planes are static across the inner sub-moves: hoist the
-            # neighbour-side parameter selection out of the hot loop
-            if not use_pallas:
-                rows_c = _pair_params_rows(table, jnp.maximum(sp_c, 0.0), pf)
-                rows_o = _pair_params_rows(table, jnp.maximum(sp_o, 0.0), pf)
+            slots_here = set(int(m) for m in col_sched)
+            any_disp = any(pool[m].action == "displacement" for m in slots_here)
+
+            # neighbour-side parameter selection hoisted out of the hot loop
+            # (the `others` species plane is static for the whole substep)
+            rows_o = rows_c_static = None
+            if any_disp and not use_pallas:
+                rows_o = _pair_params_rows(table, sp_o_safe, pf)
+                if not has_swap:  # center species static too
+                    rows_c_static = _pair_params_rows(
+                        table, jnp.maximum(center_sp, 0.0), pf
+                    )
+            swap_o_rows = {
+                m: (
+                    _pair_params_static_row(table, pool[m].species[0], sp_o_safe, pf),
+                    _pair_params_static_row(table, pool[m].species[1], sp_o_safe, pf),
+                )
+                for m in slots_here
+                if pool[m].action == "swap"
+            }
 
             for kin in range(inner):
-                # --- pick one particle per occupied active cell -------------
-                # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
-                r = jnp.floor(up_c[kin] * occ.astype(dt)).astype(jnp.int32)
-                pick = slot_iota[None, :] == r[:, None]  # [A, cap]
-                x_a = [
-                    jnp.sum(jnp.where(pick, center_pos[j], 0.0), axis=-1)
-                    for j in range(d)
-                ]  # d x [A]
-                s_a = jnp.sum(jnp.where(pick, sp_c, 0.0), axis=-1)  # [A] float
-
-                # --- proposal: Gaussian, auto-reject on cell exit -----------
-                # (positions are already in the shifted frame; NO clip — a
-                # clip would silently extend edge cells past the box)
-                x_new = [x_a[j] + sigma * dl_c[kin, j] for j in range(d)]
-                in_cell = occupied
-                for j in range(d):
-                    cj = jnp.floor(
-                        x_new[j] / box[j] * spec.ncells[j]
-                    ).astype(jnp.int32)
-                    in_cell = in_cell & (cj == coords[:, j])
-
-                # --- ΔE: own (live) block + static neighbour blocks ---------
-                if use_pallas:
-                    from . import pallas_kernels as PK
-
-                    nb = jnp.concatenate(
-                        [jnp.stack(center_pos + [sp_c]), others], axis=-1
-                    )  # [d+1, A, 27*cap]
-                    self_m = jnp.concatenate(
-                        [pick, jnp.zeros((A, 26 * cap), bool)], axis=1
+                m = int(col_sched[kin])
+                mv = pool[m]
+                if mv.action == "displacement":
+                    # --- pick one particle per occupied active cell ----------
+                    # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
+                    r = jnp.floor(rnd_c["up"][kin] * occ.astype(dt)).astype(
+                        jnp.int32
                     )
-                    valid_m = (nb[d] >= 0) & ~self_m
-                    act = jnp.stack(
-                        x_a + x_new + [s_a] + [jnp.zeros((A,), dt)] * (7 - 2 * d),
-                        axis=1,
-                    )  # [A, 8]
-                    de = PK.delta_e_planes(
-                        nb,
-                        act,
-                        valid_m.astype(dt),
-                        PK.pack_table(table, dt),
-                        box[None, :],
-                        table.n_species,
-                        kinds_present=kp,
-                    )[:, 0]
+                    pick = slot_iota[None, :] == r[:, None]  # [A, cap]
+                    x_a = [
+                        jnp.sum(jnp.where(pick, center_pos[j], 0.0), axis=-1)
+                        for j in range(d)
+                    ]  # d x [A]
+                    s_a = jnp.sum(jnp.where(pick, center_sp, 0.0), axis=-1)
+
+                    # --- proposal: Gaussian, auto-reject on cell exit --------
+                    # (positions are already in the shifted frame; NO clip — a
+                    # clip would silently extend edge cells past the box)
+                    x_new = [
+                        x_a[j] + sigmas[m] * rnd_c["dl"][kin, j] for j in range(d)
+                    ]
+                    in_cell = occupied
+                    for j in range(d):
+                        cj = jnp.floor(
+                            x_new[j] / box[j] * spec.ncells[j]
+                        ).astype(jnp.int32)
+                        in_cell = in_cell & (cj == coords[:, j])
+
+                    # --- ΔE: own (live) block + static neighbour blocks ------
+                    if use_pallas:
+                        from . import pallas_kernels as PK
+
+                        nb = jnp.concatenate(
+                            [jnp.stack(center_pos + [center_sp]), others], axis=-1
+                        )  # [d+1, A, 27*cap]
+                        self_m = jnp.concatenate(
+                            [pick, jnp.zeros((A, 26 * cap), bool)], axis=1
+                        )
+                        valid_m = (nb[d] >= 0) & ~self_m
+                        act = jnp.stack(
+                            x_a + x_new + [s_a] + [jnp.zeros((A,), dt)] * (7 - 2 * d),
+                            axis=1,
+                        )  # [A, 8]
+                        de = PK.delta_e_planes(
+                            nb,
+                            act,
+                            valid_m.astype(dt),
+                            PK.pack_table(table, dt),
+                            box[None, :],
+                            table.n_species,
+                            kinds_present=kp,
+                        )[:, 0]
+                    else:
+                        rows_c = (
+                            _pair_params_rows(
+                                table, jnp.maximum(center_sp, 0.0), pf
+                            )
+                            if has_swap  # center species are live
+                            else rows_c_static
+                        )
+                        de = jnp.zeros((A,), dt)
+                        for pos_nb, rows_nb, valid in (
+                            (center_pos, rows_c, (center_sp >= 0) & ~pick),
+                            (pos_o, rows_o, valid_o),
+                        ):
+                            p = _select_row(rows_nb, s_a[:, None], pf)
+                            r2o = jnp.zeros(valid.shape, dt)
+                            r2n = jnp.zeros(valid.shape, dt)
+                            for j in range(d):
+                                # plain differences: halos image-corrected
+                                dxo = pos_nb[j] - x_a[j][:, None]
+                                dxn = pos_nb[j] - x_new[j][:, None]
+                                r2o = r2o + dxo * dxo
+                                r2n = r2n + dxn * dxn
+                            du = pair_potential(r2n, p, kp) - pair_potential(
+                                r2o, p, kp
+                            )
+                            de = de + jnp.sum(
+                                jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
+                            )
+
+                    # --- Metropolis accept (overlap → de huge → reject) ------
+                    accept = (
+                        jnp.log(rnd_c["ua"][kin]) < -de / temperature
+                    ) & in_cell
+                    booked = jnp.where(
+                        accept & jnp.isfinite(de), de, jnp.zeros_like(de)
+                    )
+
+                    # --- apply: in-register center update --------------------
+                    moved = pick & accept[:, None]  # [A, cap]
+                    center_pos = [
+                        jnp.where(moved, x_new[j][:, None], center_pos[j])
+                        for j in range(d)
+                    ]
+                    energy = energy + jnp.sum(booked)
+                    att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
+                    acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
                 else:
+                    # --- in-cell species swap (see build docstring) ----------
+                    s1, s2 = mv.species
+                    s1f = jnp.asarray(float(s1), dt)
+                    s2f = jnp.asarray(float(s2), dt)
+                    memb1 = center_sp == s1f  # [A, cap]
+                    memb2 = center_sp == s2f
+                    n1 = jnp.sum(memb1.astype(jnp.int32), axis=-1)  # [A]
+                    n2 = jnp.sum(memb2.astype(jnp.int32), axis=-1)
+                    r1 = jnp.floor(rnd_c["up"][kin] * n1.astype(dt)).astype(
+                        jnp.int32
+                    )
+                    r2s = jnp.floor(rnd_c["up2"][kin] * n2.astype(dt)).astype(
+                        jnp.int32
+                    )
+                    rank1 = jnp.cumsum(memb1.astype(jnp.int32), axis=-1) - 1
+                    rank2 = jnp.cumsum(memb2.astype(jnp.int32), axis=-1) - 1
+                    pick_i = memb1 & (rank1 == r1[:, None])  # one-hot [A, cap]
+                    pick_j = memb2 & (rank2 == r2s[:, None])
+                    x_i = [
+                        jnp.sum(jnp.where(pick_i, center_pos[j], 0.0), axis=-1)
+                        for j in range(d)
+                    ]
+                    x_j = [
+                        jnp.sum(jnp.where(pick_j, center_pos[j], 0.0), axis=-1)
+                        for j in range(d)
+                    ]
+                    valid_sw = (n1 > 0) & (n2 > 0)  # else auto-reject
+
+                    # params for the two STATIC mover species vs each
+                    # neighbour plane; center plane is live under swaps
+                    center_sp_safe = jnp.maximum(center_sp, 0.0)
+                    p_c_1 = _pair_params_static_row(table, s1, center_sp_safe, pf)
+                    p_c_2 = _pair_params_static_row(table, s2, center_sp_safe, pf)
+                    p_o_1, p_o_2 = swap_o_rows[m]
+
+                    # ΔE = Δ_i (s1→s2 at x_i) + Δ_j (s2→s1 at x_j); both sums
+                    # exclude i and j (the mutual term cancels by symmetry)
                     de = jnp.zeros((A,), dt)
-                    for pos_nb, rows_nb, valid in (
-                        (center_pos, rows_c, (sp_c >= 0) & ~pick),
-                        (pos_o, rows_o, valid_o),
+                    for pos_nb, pA, pB, valid in (
+                        (center_pos, p_c_1, p_c_2, (center_sp >= 0) & ~pick_i & ~pick_j),
+                        (pos_o, p_o_1, p_o_2, valid_o),
                     ):
-                        p = _select_row(rows_nb, s_a[:, None], pf)
-                        r2o = jnp.zeros(valid.shape, dt)
-                        r2n = jnp.zeros(valid.shape, dt)
+                        r2i = jnp.zeros(valid.shape, dt)
+                        r2j = jnp.zeros(valid.shape, dt)
                         for j in range(d):
-                            # plain differences: halos are image-corrected
-                            dxo = pos_nb[j] - x_a[j][:, None]
-                            dxn = pos_nb[j] - x_new[j][:, None]
-                            r2o = r2o + dxo * dxo
-                            r2n = r2n + dxn * dxn
-                        du = pair_potential(r2n, p, kp) - pair_potential(r2o, p, kp)
+                            dxi = pos_nb[j] - x_i[j][:, None]
+                            dxj = pos_nb[j] - x_j[j][:, None]
+                            r2i = r2i + dxi * dxi
+                            r2j = r2j + dxj * dxj
+                        du = (
+                            pair_potential(r2i, pB, kp)
+                            - pair_potential(r2i, pA, kp)
+                            + pair_potential(r2j, pA, kp)
+                            - pair_potential(r2j, pB, kp)
+                        )
                         de = de + jnp.sum(
                             jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
                         )
 
-                # --- Metropolis accept (overlap → de huge → reject) ---------
-                accept = (jnp.log(ua_c[kin]) < -de / temperature) & in_cell
-                booked = jnp.where(
-                    accept & jnp.isfinite(de), de, jnp.zeros_like(de)
-                )
-
-                # --- apply: in-register center update ------------------------
-                moved = pick & accept[:, None]  # [A, cap]
-                center_pos = [
-                    jnp.where(moved, x_new[j][:, None], center_pos[j])
-                    for j in range(d)
-                ]
-                energy = energy + jnp.sum(booked)
-                att = att + jnp.sum(occupied.astype(att.dtype))
-                acc = acc + jnp.sum(accept.astype(acc.dtype))
+                    accept = valid_sw & (
+                        jnp.log(rnd_c["ua"][kin]) < -de / temperature
+                    )
+                    booked = jnp.where(
+                        accept & jnp.isfinite(de), de, jnp.zeros_like(de)
+                    )
+                    swapped_i = pick_i & accept[:, None]
+                    swapped_j = pick_j & accept[:, None]
+                    center_sp = jnp.where(
+                        swapped_i, s2f, jnp.where(swapped_j, s1f, center_sp)
+                    )
+                    energy = energy + jnp.sum(booked)
+                    att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
+                    acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
 
             # --- write the live center back; refresh one halo face per dim --
-            new_center = jnp.stack(center_pos).reshape(
-                (d,) + tuple(A_dims) + (cap,)
-            )
-            padded = padded.at[(slice(0, d),) + csl].set(new_center)
+            if has_swap:
+                new_block = jnp.stack(center_pos + [center_sp]).reshape(
+                    (d + 1,) + tuple(A_dims) + (cap,)
+                )
+                padded = padded.at[(slice(0, d + 1),) + csl].set(new_block)
+            else:
+                new_center = jnp.stack(center_pos).reshape(
+                    (d,) + tuple(A_dims) + (cap,)
+                )
+                padded = padded.at[(slice(0, d),) + csl].set(new_center)
             for k in range(d):
                 ax = 1 + k
                 nc_k = spec.ncells[k]
@@ -512,27 +741,34 @@ def build_hyper_sweep_fn(
                     padded = jax.lax.dynamic_update_index_in_dim(padded, src, 0, ax)
             return padded, energy, att, acc
 
-        def round_body(carry, rnd):
+        def round_body(carry, rnd_r):
             padded, energy, att, acc = carry
-            up_r, dl_r, ua_r = rnd
-            for ci, c in enumerate(colors):  # static unroll over 2^d colors
+            for ci in range(C):  # static unroll over 2^d colors
+                rnd_c = {k: v[ci] for k, v in rnd_r.items()}
                 padded, energy, att, acc = color_substep(
-                    padded, energy, att, acc, c, up_r[ci], dl_r[ci], ua_r[ci]
+                    padded, energy, att, acc, ci, rnd_c
                 )
             return (padded, energy, att, acc), None
 
-        att0 = jnp.zeros((), cb.attempted.dtype)
-        acc0 = jnp.zeros((), cb.accepted.dtype)
+        att0 = jnp.zeros((n_moves,), cb.attempted.dtype)
+        acc0 = jnp.zeros((n_moves,), cb.accepted.dtype)
         (padded, energy, att, acc), _ = jax.lax.scan(
             round_body,
             (padded0, cb.system.energy, att0, acc0),
-            (u_pick, deltas, u_acc),
+            rnd,
         )
 
         interior = (slice(None),) + tuple(slice(1, -1) for _ in range(d))
         planes = padded[interior].reshape(d + 1, spec.total, cap)
         position = unbin_positions(planes, slot, shift, box)
-        system = cb.system.replace(position=position, energy=energy)
+        species = (
+            jnp.take(planes[d].reshape(-1), slot).astype(jnp.int32)
+            if has_swap
+            else cb.system.species
+        )
+        system = cb.system.replace(
+            position=position, species=species, energy=energy
+        )
         return cb.replace(
             system=system,
             key=key,
@@ -545,4 +781,15 @@ def build_hyper_sweep_fn(
             overflow=cb.overflow | ovf,
         )
 
-    return hyper_sweep
+    if legacy:
+
+        def hyper_sweep(cb: CBState, sigma, color_key=None) -> CBState:
+            """Legacy single-Displacement entry: `sigma` is the Gaussian
+            width. `color_key` is accepted for backwards compatibility and
+            ignored — the color order is a fixed static cycle (see module
+            docstring for why that is both valid MCMC and TPU-necessary)."""
+            del color_key
+            return hyper_sweep_pool(cb, ({"sigma": sigma},))
+
+        return hyper_sweep
+    return hyper_sweep_pool

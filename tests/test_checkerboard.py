@@ -60,7 +60,7 @@ def test_incremental_energy_matches_oracle():
     )
     np.testing.assert_allclose(e_inc, e_ref, rtol=1e-9, atol=1e-7)
     # some moves must actually have been accepted for this to mean anything
-    assert int(cb.accepted) > 50
+    assert int(np.sum(np.asarray(cb.accepted))) > 50
     # plane payload (shifted frame) stays consistent with global positions
     pay = np.moveaxis(np.asarray(cb.planes), 0, -1)  # [total, cap, d+1]
     idx = np.asarray(cb.idx)
@@ -73,6 +73,107 @@ def test_incremental_energy_matches_oracle():
     # every particle is binned exactly once
     ids = np.sort(idx[mask])
     np.testing.assert_array_equal(ids, np.arange(n))
+
+
+def test_mixed_pool_incremental_energy_and_composition():
+    """disp+swap pool: booked energy equals a fresh dense recomputation,
+    species composition is exactly conserved, and both moves fire with the
+    requested mixture (VERDICT round-1 item 1)."""
+    table = T.KobAndersen(jnp.float64)
+    n, d, density = 1300, 3, 1.2
+    st = _lattice_system(n, d, density, temperature=1.0, table=table)
+    spec = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+    assert spec is not None
+
+    pool = (
+        MB.displacement(0.08, probability=0.7),
+        MB.discrete_swap(0, 1, probability=0.3),
+    )
+    params = MB.init_pool_params(pool)
+    cb = CB.init_cb_state(st, spec, seed=5, n_moves=len(pool))
+    sweep = jax.jit(CB.build_hyper_sweep_fn(spec, table, n, inner=4, pool=pool))
+    n0 = int(jnp.sum(st.species == 0))
+    for _ in range(3):
+        cb = sweep(cb, params)
+
+    assert not bool(cb.overflow)
+    att = np.asarray(cb.attempted)
+    acc = np.asarray(cb.accepted)
+    assert att.shape == (2,) and (att > 0).all()
+    # static schedule realises the mixture to 1/(C*inner) per round
+    frac = att[1] / att.sum()
+    assert abs(frac - 0.3) < 0.05, frac
+    assert acc[1] > 0  # swaps actually accepted
+    # composition exactly conserved by label swaps
+    assert int(jnp.sum(cb.system.species == 0)) == n0
+    e_inc = float(cb.system.energy)
+    e_ref = float(
+        E.total_energy_dense(
+            cb.system.position, cb.system.species, cb.system.box, table
+        )
+    )
+    np.testing.assert_allclose(e_inc, e_ref, rtol=1e-9, atol=1e-7)
+
+
+def test_mixed_pool_statistical_agreement_with_sequential():
+    """disp+swap checkerboard samples the same equilibrium mean energy as the
+    sequential disp+swap kernel. Mirrors the reference's signature swap
+    workload (test/runtests.jl:94-129): JBB model, two DiscreteSwap moves on
+    the species pairs (1,3)/(2,3) — the close-size pairs, so swaps actually
+    accept at a measurable rate."""
+    table = T.JBB(jnp.float64)
+    n, d, density, temp = 150, 2, 1.1920748468939728, 0.8
+    sigma = 0.1
+
+    rng = np.random.default_rng(3)
+    L = (n / density) ** (1 / d)
+    per_dim = int(np.ceil(n ** (1 / d)))
+    a = L / per_dim
+    grid = np.stack(
+        np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n]
+    pos = grid + rng.uniform(-0.03 * a, 0.03 * a, (n, d))
+    r = rng.random(n)
+    species = np.where(r < 0.4, 1, np.where(r < 0.7, 2, 3))
+    st = make_system(pos, species, density, temp, dtype=jnp.float64)
+    st = E.initialize_energy(st, table)
+    spec = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+    assert spec is not None
+
+    pool = (
+        MB.displacement(sigma, probability=0.2),
+        MB.discrete_swap(0, 2, probability=0.4),
+        MB.discrete_swap(1, 2, probability=0.4),
+    )
+    params = MB.init_pool_params(pool)
+    config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
+    mc = K.init_mc_state(st, config, 13)
+    sweep = jax.jit(K.build_sweep_fn(config, n))
+    for _ in range(400):
+        mc = sweep(mc, params)
+    st_eq = mc.system
+
+    meas = 400
+    cb = CB.init_cb_state(st_eq, spec, seed=11, n_moves=len(pool))
+    hsweep = jax.jit(CB.build_hyper_sweep_fn(spec, table, n, pool=pool))
+    es_cb = []
+    for _ in range(meas):
+        cb = hsweep(cb, params)
+        es_cb.append(float(cb.system.energy) / n)
+    assert not bool(cb.overflow)
+    acc = np.asarray(cb.accepted) / np.maximum(1, np.asarray(cb.attempted))
+    assert (acc > 0.005).all() and (acc < 0.95).all(), acc
+
+    es_seq = []
+    for _ in range(meas):
+        mc = sweep(mc, params)
+        es_seq.append(float(mc.system.energy) / n)
+
+    m_cb, m_seq = np.mean(es_cb), np.mean(es_seq)
+    b_cb = np.mean(np.reshape(es_cb, (8, -1)), axis=1)
+    b_seq = np.mean(np.reshape(es_seq, (8, -1)), axis=1)
+    s = np.sqrt(np.var(b_cb, ddof=1) / 8 + np.var(b_seq, ddof=1) / 8)
+    assert abs(m_cb - m_seq) < 6 * max(s, 1e-3), (m_cb, m_seq, s)
 
 
 def test_statistical_agreement_with_sequential_kernel():
@@ -105,7 +206,7 @@ def test_statistical_agreement_with_sequential_kernel():
         cb = hsweep(cb, sigma)
         es_cb.append(float(cb.system.energy) / n)
     assert not bool(cb.overflow)
-    acc_rate = int(cb.accepted) / int(cb.attempted)
+    acc_rate = int(np.sum(np.asarray(cb.accepted))) / int(np.sum(np.asarray(cb.attempted)))
     assert 0.05 < acc_rate < 0.95
 
     es_seq = []

@@ -13,7 +13,8 @@ from particlesmc_tpu.models import tables as T
 from particlesmc_tpu.moves import base as MB
 
 
-def _chains(n=140, m=3, d=2, density=1.1920748468939728, temp=0.8, seed=4):
+def _chains(n=140, m=3, d=2, density=1.1920748468939728, temp=0.8, seed=4,
+            three_species=False):
     table = T.JBB(jnp.float64)
     rng = np.random.default_rng(seed)
     L = (n / density) ** (1 / d)
@@ -26,7 +27,11 @@ def _chains(n=140, m=3, d=2, density=1.1920748468939728, temp=0.8, seed=4):
     sts = []
     for k in range(m):
         pos = grid + rng.uniform(-0.03 * a, 0.03 * a, (n, d))
-        species = (rng.random(n) < 0.3).astype(np.int64) + 1
+        if three_species:
+            r = rng.random(n)
+            species = np.where(r < 0.4, 1, np.where(r < 0.7, 2, 3))
+        else:
+            species = (rng.random(n) < 0.3).astype(np.int64) + 1
         st = make_system(pos, species, density, temp, dtype=jnp.float64)
         sts.append(E.initialize_energy(st, table))
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
@@ -68,10 +73,59 @@ def test_parallel_moves_simulation(tmp_path):
         np.testing.assert_allclose(float(st.energy), e_ref, rtol=1e-9, atol=1e-7)
 
 
+def test_parallel_moves_mixed_pool_simulation(tmp_path):
+    """disp+swap pool on the checkerboard backend end-to-end: per-move
+    acceptance files, conserved composition, exact energy bookkeeping
+    (VERDICT round-1 item 1)."""
+    chains = _chains(three_species=True)
+    n0 = np.asarray(jnp.sum(chains.states.species == 0, axis=1))
+    pool = (
+        MB.displacement(0.1, probability=0.6),
+        MB.discrete_swap(0, 2, probability=0.2),
+        MB.discrete_swap(1, 2, probability=0.2),
+    )
+    steps = 6
+    sim = Simulation(
+        chains,
+        [
+            {"algorithm": "Metropolis", "pool": pool, "seed": 5,
+             "parallel_moves": True},
+            {"algorithm": "StoreAcceptance", "dependencies": ("Metropolis",),
+             "scheduler": build_schedule(steps, 0, 3)},
+        ],
+        steps,
+        path=str(tmp_path),
+        verbose=False,
+    )
+    sim.run()
+
+    for m in range(3):
+        acc = np.loadtxt(tmp_path / "moves" / str(m + 1) / "acceptance.dat")
+        assert 0.0 <= acc[-1, 1] < 1.0
+    # displacement must actually move
+    acc0 = np.loadtxt(tmp_path / "moves" / "1" / "acceptance.dat")
+    assert acc0[-1, 1] > 0.0
+    # at least one swap pair accepts (close-size JBB pairs)
+    att = np.asarray(sim.mc.attempted).sum(axis=0)
+    acc_cnt = np.asarray(sim.mc.accepted).sum(axis=0)
+    assert att.shape == (3,) and (att > 0).all()
+    assert acc_cnt[1] + acc_cnt[2] > 0
+    # species composition conserved per chain
+    n0_after = np.asarray(jnp.sum(sim.mc.system.species == 0, axis=1))
+    np.testing.assert_array_equal(n0_after, n0)
+    # incremental energy matches a dense recompute (swaps booked exactly)
+    for k in range(chains.n_chains):
+        st = jax.tree.map(lambda x: x[k], sim.mc.system)
+        e_ref = float(
+            E.total_energy_dense(st.position, st.species, st.box, chains.table)
+        )
+        np.testing.assert_allclose(float(st.energy), e_ref, rtol=1e-9, atol=1e-7)
+
+
 def test_parallel_moves_rejects_unsupported():
     chains = _chains(m=1)
-    pool = (MB.displacement(0.1), MB.discrete_swap(0, 1, 0.5))
-    with pytest.raises(ValueError, match="single Displacement"):
+    pool = (MB.displacement(0.1), MB.discrete_swap(0, 1, 0.5, policy="energy_bias"))
+    with pytest.raises(ValueError, match="sequential"):
         Simulation(
             chains,
             [{"algorithm": "Metropolis", "pool": pool, "parallel_moves": True}],

@@ -77,7 +77,7 @@ def test_hyper_sweep_pallas_oracle_energy():
     sweep = jax.jit(CB.build_hyper_sweep_fn(spec, table, n, use_pallas=True))
     for _ in range(2):
         cb = sweep(cb, 0.08)
-    assert int(cb.accepted) > 30
+    assert int(np.sum(np.asarray(cb.accepted))) > 30
     e_ref = float(
         E.total_energy_dense(cb.system.position, cb.system.species, cb.system.box, table)
     )
