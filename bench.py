@@ -25,9 +25,14 @@ acceptance rate over the SAME timed window, plus `vs_baseline_accepted`
 measured 0.55 displacement acceptance, examples/lj-mixture README). Sticky
 bucket overflow invalidates the run and is flagged machine-readably.
 
+A mixing-honest metric rides along: `msd_per_s` is the mean-square
+displacement per particle per wall-second over the timed window (min-image;
+valid while per-window drift < box/2) — checkerboard cell-exit auto-rejects
+cannot inflate it, so it tracks actual configuration-space mixing.
+
 Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_MODE (cb|seq),
-BENCH_SIGMA, BENCH_REBIN, BENCH_INNER, BENCH_PALLAS, BENCH_CAP,
-BASELINE_NODE_CORES.
+BENCH_SIGMA, BENCH_SWAP (swap-move fraction, 0 disables), BENCH_REBIN,
+BENCH_INNER, BENCH_PALLAS, BENCH_CAP, BASELINE_NODE_CORES.
 """
 
 import json
@@ -40,6 +45,7 @@ CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
 MODE = os.environ.get("BENCH_MODE", "cb")
 SIGMA = float(os.environ.get("BENCH_SIGMA", 0.06))
+P_SWAP = float(os.environ.get("BENCH_SWAP", "0"))
 REBIN = int(os.environ.get("BENCH_REBIN", 16))  # sweeps per rebin block (cb mode)
 
 # benchmark state point (keyed into BENCH_CAP defaults below)
@@ -84,6 +90,17 @@ def main():
     table = T.KobAndersen(dtype)
     st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=dtype)
 
+    from particlesmc_tpu.moves import base as MB
+
+    if P_SWAP > 0:
+        pool = (
+            MB.displacement(SIGMA, probability=1.0 - P_SWAP),
+            MB.discrete_swap(0, 1, probability=P_SWAP),
+        )
+    else:
+        pool = (MB.displacement(SIGMA),)
+    pool_params = MB.init_pool_params(pool, dtype)
+
     mode = MODE
     spec = None
     if mode == "cb":
@@ -107,6 +124,7 @@ def main():
                 file=sys.stderr,
             )
             mode = "seq"
+    pool_label = f"disp+{P_SWAP:.0%}swap" if P_SWAP > 0 else "disp"
     if mode == "cb":
         hs = CB.build_hyper_sweep_fn(
             spec,
@@ -115,28 +133,31 @@ def main():
             use_pallas=bool(int(os.environ.get("BENCH_PALLAS", "0"))),
             inner=int(os.environ.get("BENCH_INNER", "8")),
             sweeps=REBIN,
+            pool=pool,
         )
 
         @jax.jit
         def init_all(st):
             keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
             batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (CHAINS,) + x.shape), st)
-            return jax.vmap(lambda s, k: CB.init_cb_state(s, spec, k))(batch, keys)
+            return jax.vmap(
+                lambda s, k: CB.init_cb_state(s, spec, k, len(pool))
+            )(batch, keys)
 
         state = init_all(st)
-        step = jax.jit(jax.vmap(lambda m: hs(m, SIGMA)))
+        step = jax.jit(jax.vmap(lambda m: hs(m, pool_params), in_axes=(0,)))
 
         def advance(s, i):
             return step(s)
 
-        label = f"checkerboard MC sweeps/s/chip, N={N} LJ, {CHAINS} chains"
+        label = (
+            f"checkerboard MC sweeps/s/chip, N={N} LJ {pool_label}, "
+            f"{CHAINS} chains"
+        )
     else:
-        from particlesmc_tpu.moves import base as MB
         from particlesmc_tpu.moves import kernel as K
 
-        pool = (MB.displacement(SIGMA),)
         config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
-        params = MB.init_pool_params(pool, dtype)
 
         @jax.jit
         def init_all(st):
@@ -146,12 +167,15 @@ def main():
 
         state = init_all(st)
         sweep = K.build_sweep_fn(config, N)
-        step = jax.jit(jax.vmap(lambda m: sweep(m, params)))
+        step = jax.jit(jax.vmap(lambda m: sweep(m, pool_params), in_axes=(0,)))
 
         def advance(s, i):
             return step(s)
 
-        label = f"sequential MC sweeps/s/chip, N={N} LJ, {CHAINS} chains"
+        label = (
+            f"sequential MC sweeps/s/chip, N={N} LJ {pool_label}, "
+            f"{CHAINS} chains"
+        )
 
     jax.block_until_ready(state.system.position)
 
@@ -168,6 +192,7 @@ def main():
     # snapshot BOTH counters so acceptance covers the same timed window
     att0 = _sum64(state.attempted)
     acc0 = _sum64(state.accepted)
+    pos0 = np.asarray(state.system.position)  # [chains, N, d]
     t0 = time.perf_counter()
     for i in range(SWEEPS_TIMED):
         state = advance(state, i + 1)
@@ -185,6 +210,13 @@ def main():
     overflow = mode == "cb" and bool(jnp.any(state.overflow))
     if overflow:
         print("# WARNING: cell-bucket overflow — result invalid", file=sys.stderr)
+    # mixing metric: per-particle MSD per wall-second over the timed window
+    # (min-image displacement; exact while per-window drift < box/2)
+    box = np.asarray(st.box)
+    dx = np.asarray(state.system.position) - pos0
+    dx -= box * np.round(dx / box)
+    msd = float(np.mean(np.sum(dx * dx, axis=-1)))
+    msd_per_s = msd / elapsed
     baseline_accepted_per_s = JULIA_NODE_SWEEPS_PER_S * N * JULIA_DISP_ACCEPTANCE
     print(
         json.dumps(
@@ -200,7 +232,9 @@ def main():
                     accepted_per_s / baseline_accepted_per_s, 3
                 ),
                 "acceptance": round(acc_rate, 4),
+                "msd_per_s": round(msd_per_s, 6),
                 "sigma": SIGMA,
+                "p_swap": P_SWAP,
                 "overflow": overflow,
             }
         )

@@ -86,6 +86,8 @@ def _build_outputs(output_cfgs, steps, burn):
             entry["dependencies"] = tuple(out.get("dependencies", ["Metropolis"]))
         elif alg in ("StoreTrajectories", "StoreLastFrames"):
             entry["fmt"] = out.get("fmt", "XYZ")
+        elif alg == "StoreCheckpoints":
+            entry["history"] = bool(out.get("history", False))
         elif alg in ("PrintTimeSteps", "StoreParameters"):
             pass
         elif alg == "ReplicaExchange":
@@ -96,8 +98,10 @@ def _build_outputs(output_cfgs, steps, burn):
     return algos
 
 
-def run_params(params: Dict[str, Any]):
-    """Assemble and run a Simulation from a parsed TOML dict."""
+def run_params(params: Dict[str, Any], resume: str | None = None):
+    """Assemble and run a Simulation from a parsed TOML dict. `resume`
+    points at a checkpoint.npz written by StoreCheckpoints: the run
+    continues mid-schedule with exact state (RNG, counters, θ)."""
     import os
 
     import jax
@@ -161,24 +165,38 @@ def run_params(params: Dict[str, Any]):
         steps,
         path=sim_cfg.get("output_path", "./"),
         verbose=bool(sim_cfg.get("verbose", True)),
+        resume=resume,
+        profile_dir=sim_cfg.get("profile_dir"),
     )
     sim.run()
     return sim
 
 
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    resume = None
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        try:
+            resume = argv[i + 1]
+        except IndexError:
+            print("--resume requires a checkpoint path")
+            return 2
+        del argv[i : i + 2]
     if len(argv) != 1 or argv[0] in ("-h", "--help"):
-        print("usage: particlesmc-tpu <params.toml>")
+        print("usage: particlesmc-tpu <params.toml> [--resume checkpoint.npz]")
         return 0 if argv and argv[0] in ("-h", "--help") else 2
     import os
 
     if not os.path.isfile(argv[0]):
         print(f"Parameter file '{argv[0]}' does not exist in the current path.")
         return 1
+    if resume is not None and not os.path.isfile(resume):
+        print(f"Checkpoint file '{resume}' does not exist in the current path.")
+        return 1
     with open(argv[0], "rb") as f:
         params = tomllib.load(f)
-    run_params(params)
+    run_params(params, resume=resume)
     return 0
 
 

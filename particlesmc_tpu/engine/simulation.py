@@ -87,11 +87,16 @@ class Simulation:
         steps: int,
         path: str = "./",
         verbose: bool = False,
+        resume: Optional[str] = None,
+        profile_dir: Optional[str] = None,
     ):
         self.chains = chains
         self.steps = int(steps)
         self.path = path
         self.verbose = verbose
+        self.profile_dir = profile_dir  # jax.profiler trace output (§5.1)
+        self._start_step = 0
+        self._tput_mark: Optional[Tuple[float, int]] = None  # (wall, step)
 
         algos = [_normalise_algorithm(a) for a in algorithm_list]
         metro = [a for a in algos if a.name == "Metropolis"]
@@ -282,8 +287,34 @@ class Simulation:
             self._rex = ReplicaExchange(self, seed=self.seed)
             self._rex_sched = set(int(t) for t in rex[0].scheduler)
 
+        # --- exact resume from a full checkpoint (SURVEY.md §5.4) ----------
+        # Restores sampler state, RNG keys, counters, and learnable θ; the
+        # run continues mid-schedule and reproduces a straight-through run
+        # bitwise (tests/test_simulation.py). Existing output files in
+        # `path` are appended to, not truncated.
+        if resume is not None:
+            from ..io import checkpoint as CKPT
+
+            dtype = chains.states.position.dtype
+            if self.parallel_moves:
+                self.mc, self.pool_params, self._start_step = (
+                    CKPT.load_checkpoint_checkerboard(resume, self.cb_spec, dtype)
+                )
+            else:
+                self.mc, self.pool_params, self._start_step = (
+                    CKPT.load_checkpoint(resume, self.config, dtype)
+                )
+            if self._start_step >= self.steps:
+                raise ValueError(
+                    f"checkpoint is at step {self._start_step}, past the "
+                    f"requested {self.steps} steps"
+                )
+            if verbose:
+                print(f"resumed from {resume} at step {self._start_step}")
+
         self._event_times = self._collect_event_times()
         self._writers_ready = False
+        self._truncate_outputs = resume is None  # append, don't wipe, on resume
 
     # ------------------------------------------------------------------
     def _collect_event_times(self) -> np.ndarray:
@@ -302,6 +333,9 @@ class Simulation:
             os.makedirs(os.path.join(self.path, "chains", str(k + 1)), exist_ok=True)
         for m in range(len(self.pool)):
             os.makedirs(os.path.join(self.path, "moves", str(m + 1)), exist_ok=True)
+        self._writers_ready = True
+        if not self._truncate_outputs:
+            return
         # Truncate append-mode files from previous runs
         for a in self.outputs:
             if a.name == "StoreCallbacks":
@@ -319,7 +353,6 @@ class Simulation:
             elif a.name == "StoreParameters":
                 for m in range(len(self.pool)):
                     open(self._move_file(m, "parameters.dat"), "w").close()
-        self._writers_ready = True
 
     def _chain_file(self, k: int, name: str) -> str:
         return os.path.join(self.path, "chains", str(k + 1), name)
@@ -391,8 +424,38 @@ class Simulation:
                     vals = " ".join(f"{float(v):.12g}" for v in p.values())
                     with open(self._move_file(m, "parameters.dat"), "a") as f:
                         f.write(f"{t} {vals}\n")
+            elif a.name == "StoreCheckpoints":
+                # Full exact-resume state (io/checkpoint.py) — exceeds the
+                # reference's lastframe-only restart (src/IO/IO.jl:383-391).
+                from ..io import checkpoint as CKPT
+
+                name = (
+                    f"checkpoint_{t}.npz" if a.extra.get("history") else "checkpoint.npz"
+                )
+                CKPT.save_checkpoint(
+                    os.path.join(self.path, name),
+                    self.mc,
+                    self.pool_params,
+                    t,
+                    extra={"backend": "cb" if self.parallel_moves else "seq"},
+                )
             elif a.name == "PrintTimeSteps":
-                print(f"step {t}/{self.steps}")
+                # progress + sweeps/s since the previous print (the reference
+                # dev loop prints elapsed time, test/simple_test.jl:66-68)
+                import time as _time
+
+                now = _time.perf_counter()
+                if self._tput_mark is not None and t > self._tput_mark[1]:
+                    t0, s0 = self._tput_mark
+                    rate = (t - s0) / max(now - t0, 1e-9)
+                    agg = rate * self.chains.n_chains
+                    print(
+                        f"step {t}/{self.steps}  "
+                        f"{rate:.1f} sweeps/s/chain ({agg:.1f} aggregate)"
+                    )
+                else:
+                    print(f"step {t}/{self.steps}")
+                self._tput_mark = (now, t)
             elif a.name in (
                 "PolicyGradientEstimator",
                 "PolicyGradientUpdate",
@@ -441,7 +504,16 @@ class Simulation:
 
     def run(self):
         """Execute `steps` sweeps, firing scheduled algorithms (Arianna run!,
-        SURVEY.md §1.2)."""
+        SURVEY.md §1.2). With `profile_dir` set, the whole run is captured
+        under a jax.profiler trace (view with tensorboard/xprof — §5.1)."""
+        if self.profile_dir:
+            import jax.profiler
+
+            with jax.profiler.trace(self.profile_dir):
+                return self._run_inner()
+        return self._run_inner()
+
+    def _run_inner(self):
         if not self._writers_ready:
             self._prepare_dirs()
         self.write_summary()
@@ -452,10 +524,11 @@ class Simulation:
             print(f"\tChains: {self.chains.n_chains}")
             print(f"\tNeighbour mode: {'cell' if self.config.cell_spec else 'dense'}")
 
-        t = 0
-        self._fire_outputs(0)
+        t = self._start_step
+        if t == 0:
+            self._fire_outputs(0)
         for nxt in self._event_times:
-            if nxt == 0:
+            if nxt <= t:
                 continue
             gap = int(nxt - t)
             if gap > 0:

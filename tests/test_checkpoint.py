@@ -117,3 +117,141 @@ def test_checkpoint_roundtrips_params(tmp_path):
     _, params2, _ = load_checkpoint(str(p), config)
     assert float(params2[1]["theta1"]) == 0.2
     assert set(params2[0].keys()) == {"sigma"}
+
+
+# ---------------------------------------------------------------------------
+# Engine + CLI integration (StoreCheckpoints / resume — VERDICT round-1 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _engine_chains(m=2, n=48, seed=0):
+    from particlesmc_tpu.io.loader import Chains
+
+    batch, table = _batch(m=m, n=n, seed=seed)
+    return Chains(states=batch, table=table, list_type="dense", n_chains=m)
+
+
+def test_engine_resume_bitwise(tmp_path):
+    """Simulation resumed mid-schedule from a StoreCheckpoints file matches
+    the straight-through run bitwise (positions, energies, counters)."""
+    from particlesmc_tpu.engine.simulation import Simulation
+
+    pool = (MB.displacement(0.1, probability=0.7), MB.discrete_swap(0, 1, 0.3))
+    steps = 8
+
+    def algos(ckpt_sched):
+        return [
+            dict(algorithm="Metropolis", pool=pool, seed=3),
+            dict(algorithm="StoreCheckpoints", scheduler=ckpt_sched),
+        ]
+
+    # straight-through (checkpoint fires at 4 so chunking matches exactly)
+    simA = Simulation(
+        _engine_chains(), algos([4]), steps, path=str(tmp_path / "a")
+    )
+    simA.run()
+
+    # resumed: same schedule, fresh Simulation from the step-4 checkpoint
+    simB = Simulation(
+        _engine_chains(),
+        algos([4]),
+        steps,
+        path=str(tmp_path / "a"),
+        resume=str(tmp_path / "a" / "checkpoint.npz"),
+    )
+    assert simB._start_step == 4
+    simB.run()
+
+    np.testing.assert_array_equal(
+        np.asarray(simA.mc.system.position), np.asarray(simB.mc.system.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(simA.mc.system.species), np.asarray(simB.mc.system.species)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(simA.mc.system.energy), np.asarray(simB.mc.system.energy)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(simA.mc.attempted), np.asarray(simB.mc.attempted)
+    )
+
+
+def test_cli_resume(tmp_path):
+    """--resume continues a CLI run mid-schedule and appends outputs."""
+    from particlesmc_tpu.cli import main as cli_main
+    from particlesmc_tpu.io import formats
+
+    rng = np.random.default_rng(0)
+    n, d, density = 48, 2, 0.5
+    L = (n / density) ** (1 / d)
+    per = int(np.ceil(n ** (1 / d)))
+    a = L / per
+    grid = np.stack(
+        np.meshgrid(*[np.arange(per) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n]
+    pos = grid + rng.uniform(-0.05 * a, 0.05 * a, (n, d))
+    sp = rng.integers(1, 3, n)
+    cfg = tmp_path / "config.xyz"
+    cfg.write_text(formats.write_xyz_frame(sp, pos, np.full(d, L), 0, density, 1.5))
+
+    params = f"""
+[system]
+config = "{cfg}"
+temperature = 1.5
+model = "KobAndersen"
+list_type = "EmptyList"
+
+[simulation]
+type = "Metropolis"
+steps = 10
+seed = 10
+verbose = false
+output_path = "{tmp_path}/data"
+
+[[simulation.move]]
+action = "Displacement"
+probability = 1.0
+policy = "SimpleGaussian"
+parameters = {{sigma = 0.05}}
+
+[[simulation.output]]
+algorithm = "StoreCallbacks"
+callbacks = ["energy"]
+scheduler_params = {{linear_interval = 5}}
+
+[[simulation.output]]
+algorithm = "StoreCheckpoints"
+scheduler_params = {{linear_interval = 5}}
+"""
+    ptoml = tmp_path / "params.toml"
+    ptoml.write_text(params)
+    assert cli_main([str(ptoml)]) == 0
+    e_full = np.loadtxt(tmp_path / "data" / "chains" / "1" / "energy.dat")
+    assert e_full.shape == (3, 2)  # steps 0, 5, 10
+    ckpt = tmp_path / "data" / "checkpoint.npz"
+    assert ckpt.exists()
+
+    # rewind output to the step-5 state and resume: energy.dat grows back,
+    # final value identical to the straight-through run
+    import numpy as _np
+
+    z = _np.load(ckpt)
+    # the rolling checkpoint was overwritten at step 10 — rerun to get the
+    # mid-run one via history mode instead
+    params_hist = params.replace(
+        'algorithm = "StoreCheckpoints"\nscheduler_params = {linear_interval = 5}',
+        'algorithm = "StoreCheckpoints"\nscheduler_params = {linear_interval = 5}\nhistory = true',
+    )
+    ptoml.write_text(params_hist)
+    assert cli_main([str(ptoml)]) == 0
+    mid = tmp_path / "data" / "checkpoint_5.npz"
+    assert mid.exists()
+    # truncate energy.dat to pre-resume rows, then resume from step 5
+    rows = e_full[e_full[:, 0] <= 5]
+    with open(tmp_path / "data" / "chains" / "1" / "energy.dat", "w") as f:
+        for r in rows:
+            f.write(f"{int(r[0])} {r[1]:.12g}\n")
+    assert cli_main([str(ptoml), "--resume", str(mid)]) == 0
+    e_res = np.loadtxt(tmp_path / "data" / "chains" / "1" / "energy.dat")
+    assert e_res.shape == (3, 2)
+    np.testing.assert_allclose(e_res[-1, 1], e_full[-1, 1], rtol=0, atol=0)
