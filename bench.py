@@ -32,7 +32,8 @@ cannot inflate it, so it tracks actual configuration-space mixing.
 
 Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_MODE (cb|seq),
 BENCH_SIGMA, BENCH_SWAP (swap-move fraction, 0 disables), BENCH_REBIN,
-BENCH_INNER, BENCH_PALLAS, BENCH_CAP, BASELINE_NODE_CORES.
+BENCH_INNER (default 16 — measured best on TPU v5e), BENCH_CAP,
+BASELINE_NODE_CORES.
 """
 
 import json
@@ -130,8 +131,7 @@ def main():
             spec,
             table,
             N,
-            use_pallas=bool(int(os.environ.get("BENCH_PALLAS", "0"))),
-            inner=int(os.environ.get("BENCH_INNER", "8")),
+            inner=int(os.environ.get("BENCH_INNER", "16")),
             sweeps=REBIN,
             pool=pool,
         )

@@ -201,7 +201,6 @@ class Simulation:
             )(chains.states, keys)
             rebin_every = max(1, int(chains.list_parameters.get("rebin_every", 8)))
             cb_kwargs = dict(
-                use_pallas=bool(chains.list_parameters.get("use_pallas", False)),
                 inner=int(chains.list_parameters.get("inner", 8)),
                 pool=self.pool,
             )

@@ -359,7 +359,6 @@ def build_hyper_sweep_fn(
     table: PairTable,
     n: int,
     sweepstep: Optional[int] = None,
-    use_pallas: bool = False,
     inner: int = 4,
     sweeps: int = 1,
     pool=None,
@@ -402,9 +401,9 @@ def build_hyper_sweep_fn(
     particles stay confined to their cells for the whole block; the shift
     redraw at the next call restores cross-cell diffusion.
 
-    use_pallas fuses the displacement ΔE evaluation into one VMEM-resident
-    pallas kernel (moves/pallas_kernels.py); off-TPU it runs in interpreter
-    mode, so keep it False for CPU production runs."""
+    (A hand-written pallas ΔE kernel was benchmarked against this XLA path
+    on a TPU v5e in round 2 and lost 6x — 516 vs 3008 sweeps/s at N=10k —
+    so the XLA-fused evaluation is the only implementation.)"""
     d = spec.d
     A_dims = spec.active_dims
     A = spec.n_active
@@ -438,8 +437,6 @@ def build_hyper_sweep_fn(
                 " — use the sequential kernel (parallel_moves=false)"
             )
     has_swap = any(mv.action == "swap" for mv in pool)
-    if use_pallas and has_swap:
-        raise ValueError("use_pallas does not support swap moves yet")
     schedule = _slot_schedule(pool, C, inner)
 
     def hyper_sweep_pool(cb: CBState, pool_params) -> CBState:
@@ -523,7 +520,7 @@ def build_hyper_sweep_fn(
             # neighbour-side parameter selection hoisted out of the hot loop
             # (the `others` species plane is static for the whole substep)
             rows_o = rows_c_static = None
-            if any_disp and not use_pallas:
+            if any_disp:
                 rows_o = _pair_params_rows(table, sp_o_safe, pf)
                 if not has_swap:  # center species static too
                     rows_c_static = _pair_params_rows(
@@ -568,57 +565,33 @@ def build_hyper_sweep_fn(
                         in_cell = in_cell & (cj == coords[:, j])
 
                     # --- ΔE: own (live) block + static neighbour blocks ------
-                    if use_pallas:
-                        from . import pallas_kernels as PK
-
-                        nb = jnp.concatenate(
-                            [jnp.stack(center_pos + [center_sp]), others], axis=-1
-                        )  # [d+1, A, 27*cap]
-                        self_m = jnp.concatenate(
-                            [pick, jnp.zeros((A, 26 * cap), bool)], axis=1
+                    rows_c = (
+                        _pair_params_rows(
+                            table, jnp.maximum(center_sp, 0.0), pf
                         )
-                        valid_m = (nb[d] >= 0) & ~self_m
-                        act = jnp.stack(
-                            x_a + x_new + [s_a] + [jnp.zeros((A,), dt)] * (7 - 2 * d),
-                            axis=1,
-                        )  # [A, 8]
-                        de = PK.delta_e_planes(
-                            nb,
-                            act,
-                            valid_m.astype(dt),
-                            PK.pack_table(table, dt),
-                            box[None, :],
-                            table.n_species,
-                            kinds_present=kp,
-                        )[:, 0]
-                    else:
-                        rows_c = (
-                            _pair_params_rows(
-                                table, jnp.maximum(center_sp, 0.0), pf
-                            )
-                            if has_swap  # center species are live
-                            else rows_c_static
+                        if has_swap  # center species are live
+                        else rows_c_static
+                    )
+                    de = jnp.zeros((A,), dt)
+                    for pos_nb, rows_nb, valid in (
+                        (center_pos, rows_c, (center_sp >= 0) & ~pick),
+                        (pos_o, rows_o, valid_o),
+                    ):
+                        p = _select_row(rows_nb, s_a[:, None], pf)
+                        r2o = jnp.zeros(valid.shape, dt)
+                        r2n = jnp.zeros(valid.shape, dt)
+                        for j in range(d):
+                            # plain differences: halos image-corrected
+                            dxo = pos_nb[j] - x_a[j][:, None]
+                            dxn = pos_nb[j] - x_new[j][:, None]
+                            r2o = r2o + dxo * dxo
+                            r2n = r2n + dxn * dxn
+                        du = pair_potential(r2n, p, kp) - pair_potential(
+                            r2o, p, kp
                         )
-                        de = jnp.zeros((A,), dt)
-                        for pos_nb, rows_nb, valid in (
-                            (center_pos, rows_c, (center_sp >= 0) & ~pick),
-                            (pos_o, rows_o, valid_o),
-                        ):
-                            p = _select_row(rows_nb, s_a[:, None], pf)
-                            r2o = jnp.zeros(valid.shape, dt)
-                            r2n = jnp.zeros(valid.shape, dt)
-                            for j in range(d):
-                                # plain differences: halos image-corrected
-                                dxo = pos_nb[j] - x_a[j][:, None]
-                                dxn = pos_nb[j] - x_new[j][:, None]
-                                r2o = r2o + dxo * dxo
-                                r2n = r2n + dxn * dxn
-                            du = pair_potential(r2n, p, kp) - pair_potential(
-                                r2o, p, kp
-                            )
-                            de = de + jnp.sum(
-                                jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
-                            )
+                        de = de + jnp.sum(
+                            jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
+                        )
 
                     # --- Metropolis accept (overlap → de huge → reject) ------
                     accept = (

@@ -126,3 +126,127 @@ def test_sharded_chains_match_single_device():
     )
     # state actually lives on 8 devices
     assert len(out.system.position.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------------------
+# Physics validation (VERDICT round-1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _ladder_chains(ladder, n=140, d=2, density=1.1920748468939728, seed=9,
+                   model="JBB"):
+    from particlesmc_tpu.io.loader import Chains
+
+    table = getattr(T, model)(jnp.float64)
+    rng = np.random.default_rng(seed)
+    L = (n / density) ** (1 / d)
+    per_dim = int(np.ceil(n ** (1 / d)))
+    a = L / per_dim
+    grid = np.stack(
+        np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n]
+    states = []
+    for temp in ladder:
+        pos = grid + rng.uniform(-0.03 * a, 0.03 * a, (n, d))
+        if model == "JBB":
+            r = rng.random(n)
+            sp = np.where(r < 0.4, 1, np.where(r < 0.7, 2, 3))
+        else:
+            sp = rng.integers(1, 3, n)
+        st = make_system(pos, sp, density, float(temp), dtype=jnp.float64)
+        states.append(initialize_energy(st, table, check=False))
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    return Chains(states=batch, table=table, list_type="dense",
+                  n_chains=len(ladder))
+
+
+def test_ladder_marginals_match_single_T_runs(tmp_path):
+    """Tempered ladder slot k samples the same <E>(T_k) as an independent
+    single-T ensemble — the melting-curve-style physical gate (SURVEY step 9).
+    Both arms run the SAME engine config; only ReplicaExchange differs, so a
+    detailed-balance error in the swap move shifts the tempered marginals."""
+    from particlesmc_tpu.engine.simulation import Simulation
+    from particlesmc_tpu.engine.schedule import build_schedule
+
+    # a dilute fluid state point: dense 2D mixtures are glassy at low T, so
+    # a lattice-start independent arm cannot equilibrate in test time (the
+    # tempered arm can — which is the point of tempering, but it turns the
+    # comparison into a burn-in race instead of a stationarity check)
+    ladder = [0.9, 1.1, 1.35, 1.6]
+    pool = (MB.displacement(0.25),)
+    burn, meas, interval = 300, 600, 2
+
+    def run(with_rex, path, seed):
+        chains = _ladder_chains(ladder, n=64, density=0.6, model="KobAndersen")
+        algos = [
+            dict(algorithm="Metropolis", pool=pool, seed=seed),
+            dict(algorithm="StoreCallbacks", callbacks=("energy",),
+                 scheduler=build_schedule(burn + meas, burn, interval)),
+        ]
+        if with_rex:
+            algos.append(
+                dict(algorithm="ReplicaExchange",
+                     scheduler=build_schedule(burn + meas, 0, 5))
+            )
+        sim = Simulation(chains, algos, burn + meas, path=str(path))
+        sim.run()
+        series = [
+            np.loadtxt(path / "chains" / str(k + 1) / "energy.dat")[:, 1]
+            for k in range(len(ladder))
+        ]
+        return np.asarray(series)  # [M, T_samples]
+
+    e_rex = run(True, tmp_path / "rex", seed=3)
+    e_ind = run(False, tmp_path / "ind", seed=11)
+
+    # swaps must actually fire for this test to mean anything
+    acc = np.loadtxt(tmp_path / "rex" / "tempering_acceptance.dat", ndmin=2)
+    assert acc[-1, 1] > 0.05
+
+    for k in range(len(ladder)):
+        # trim to a multiple of 6 samples for block means
+        m6 = (e_rex.shape[1] // 6) * 6
+        a, b = e_rex[k][:m6], e_ind[k][:m6]
+        ba = np.mean(a.reshape(6, -1), axis=1)
+        bb = np.mean(b.reshape(6, -1), axis=1)
+        s = np.sqrt(np.var(ba, ddof=1) / 6 + np.var(bb, ddof=1) / 6)
+        assert abs(np.mean(a) - np.mean(b)) < 6 * max(s, 1e-3), (
+            k, np.mean(a), np.mean(b), s
+        )
+
+
+def test_replica_exchange_over_checkerboard_backend(tmp_path):
+    """ReplicaExchange permutes the CBState pytree (planes/slot/shift travel
+    with the configuration); the incremental energy of every chain must still
+    match a dense recompute after swapped hyper-sweeps."""
+    from particlesmc_tpu.core.energy import total_energy_dense
+    from particlesmc_tpu.engine.simulation import Simulation
+    from particlesmc_tpu.engine.schedule import build_schedule
+
+    ladder = [0.7, 0.9, 1.2, 1.6]
+    chains = _ladder_chains(ladder)
+    pool = (MB.displacement(0.1),)
+    steps = 12
+    sim = Simulation(
+        chains,
+        [
+            dict(algorithm="Metropolis", pool=pool, seed=5, parallel_moves=True),
+            dict(algorithm="ReplicaExchange",
+                 scheduler=build_schedule(steps, 0, 3)),
+        ],
+        steps,
+        path=str(tmp_path),
+    )
+    sim.run()
+
+    assert (tmp_path / "tempering_acceptance.dat").exists()
+    # temperatures stayed with their slots
+    np.testing.assert_allclose(
+        np.asarray(sim.mc.system.temperature), ladder, rtol=0, atol=0
+    )
+    for k in range(len(ladder)):
+        st = jax.tree.map(lambda x: x[k], sim.mc.system)
+        e_ref = float(
+            total_energy_dense(st.position, st.species, st.box, chains.table)
+        )
+        np.testing.assert_allclose(float(st.energy), e_ref, rtol=1e-9, atol=1e-7)
