@@ -164,19 +164,21 @@ class Simulation:
             # ~n_active independent moves per substep instead of one.
             from ..moves import checkerboard as CBK
 
+            molecular = chains.states.bonds is not None
+            max_bonds = int(chains.states.bonds.shape[-1]) if molecular else 0
             for mv in self.pool:
                 ok = mv.action == "displacement" or (
-                    mv.action == "swap" and mv.policy == "double_uniform"
-                )
+                    mv.action == "swap"
+                    and mv.policy == "double_uniform"
+                    and not molecular
+                ) or (mv.action == "flip" and molecular)
                 if not ok:
                     raise ValueError(
-                        f"parallel_moves supports Displacement and "
-                        f"DiscreteSwap/DoubleUniform pools; {mv.action}/"
-                        f"{mv.policy} needs the sequential kernel "
-                        f"(parallel=false)"
+                        f"parallel_moves supports Displacement, DiscreteSwap/"
+                        f"DoubleUniform (atomic), and MoleculeFlip (molecular)"
+                        f" pools; {mv.action}/{mv.policy} needs the "
+                        f"sequential kernel (parallel=false)"
                     )
-            if chains.mol_start is not None:
-                raise ValueError("parallel_moves does not support molecular systems yet")
             if any(a.name == "PolicyGradientEstimator" for a in algos):
                 raise ValueError("parallel_moves is incompatible with PGMC")
             if not self.shared_box:
@@ -184,9 +186,18 @@ class Simulation:
                     "parallel_moves requires all chains to share one box "
                     "(the checkerboard grid is static per jitted kernel)"
                 )
+            # molecular cells must span the BOND reach (FENE r0 can exceed
+            # the pair cutoff — models/tables.interaction_range)
+            from ..models.tables import interaction_range
+
+            cb_rcut = (
+                interaction_range(chains.table) if molecular
+                else chains.table.max_cutoff
+            )
             cb_spec = CBK.make_cb_spec(
-                box0, chains.table.max_cutoff, n,
+                box0, cb_rcut, n,
                 chains.list_parameters.get("cap"),
+                occ_factor=4.0 if molecular else 2.5,
             )
             if cb_spec is None:
                 raise ValueError(
@@ -203,6 +214,7 @@ class Simulation:
             cb_kwargs = dict(
                 inner=int(chains.list_parameters.get("inner", 8)),
                 pool=self.pool,
+                max_bonds=max_bonds,
             )
             # one jitted block per distinct sweeps-per-rebin size; the argsort
             # rebin is amortised over `rebin_every` sweeps within a block

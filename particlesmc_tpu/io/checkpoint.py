@@ -112,8 +112,8 @@ def load_checkpoint_checkerboard(path: str, spec, dtype=None):
         temperature=jnp.asarray(z["temperature"], dt),
         density=jnp.asarray(z["density"], dt),
         energy=jnp.asarray(z["energy"], dt),
-        molecule=None,
-        bonds=None,
+        molecule=jnp.asarray(z["molecule"], jnp.int32) if "molecule" in z else None,
+        bonds=jnp.asarray(z["bonds"], jnp.int32) if "bonds" in z else None,
     )
     d = st.position.shape[-1]
 

@@ -183,6 +183,7 @@ def read_exyz(text: str, frame: int = 0) -> Dict:
     species, molecule, position = _read_frame_lines(lines, start, info, N)
     out = dict(N=N, d=pos_d, box=box, species=species, position=position, metadata=_split(meta_line))
     if molecule is not None:
+        out["molecule"] = molecule
         brow = start + N
         if brow >= len(lines):
             raise FormatError("No bonds found in the file")

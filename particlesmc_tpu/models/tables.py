@@ -88,6 +88,21 @@ class PairTable:
         return jax.tree.map(cast, self)
 
 
+def interaction_range(table: PairTable) -> float:
+    """Largest interaction range including BOND terms — the cell-sizing input
+    for molecular systems. A FENE bond reaches to r0 (and its LJ core to
+    rcutbond), which can exceed the non-bonded cutoff: the Trimer matrix has
+    r0 up to 1.575 vs a WCA pair cutoff of ~1.23 (reference
+    src/models.jl:231-243), so grids sized on max_cutoff alone would let a
+    bonded pair straddle two simultaneously-active checkerboard cells."""
+    import numpy as np
+
+    r = np.asarray(table.rcut, np.float64)
+    hb = np.asarray(table.has_bond) > 0
+    rb = np.sqrt(np.maximum(np.asarray(table.rcut2b), np.asarray(table.r02)))
+    return float(np.maximum(r, np.where(hb, rb, 0.0)).max())
+
+
 def kinds_present(table: PairTable):
     """Static tuple of potential kinds used by this table — feed to
     pair_potential(kinds_present=...) to prune dead branch math."""

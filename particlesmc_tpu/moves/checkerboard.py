@@ -70,7 +70,7 @@ from flax import struct
 
 from ..core.geometry import fold_back
 from ..core.state import SystemState
-from ..models.potentials import pair_fields_needed, pair_potential
+from ..models.potentials import bond_potential, pair_fields_needed, pair_potential
 from ..models.tables import PairTable, kinds_present
 
 
@@ -98,9 +98,16 @@ class CBSpec:
         return int(np.prod(self.active_dims))
 
 
-def make_cb_spec(box, rcut: float, n: int, cap: Optional[int] = None) -> Optional[CBSpec]:
+def make_cb_spec(
+    box, rcut: float, n: int, cap: Optional[int] = None,
+    occ_factor: float = 2.5,
+) -> Optional[CBSpec]:
     """Even-count grid with cell side >= rcut; None if the box is too small
-    (fewer than 4 cells in some dimension — use the sequential kernel)."""
+    (fewer than 4 cells in some dimension — use the sequential kernel).
+    `occ_factor` scales the default bucket capacity over the mean occupancy;
+    molecular systems should use ~4 (bonded clusters pack whole molecules
+    into single cells, so local occupancy fluctuates harder than an atomic
+    liquid's). For molecular systems pass rcut = tables.interaction_range."""
     box = np.asarray(box, np.float64)
     nc = np.floor(box / rcut).astype(int)
     nc = nc - (nc % 2)  # even per dim
@@ -108,7 +115,7 @@ def make_cb_spec(box, rcut: float, n: int, cap: Optional[int] = None) -> Optiona
         return None
     if cap is None:
         mean_occ = n / float(np.prod(nc))
-        cap = max(4, int(math.ceil(mean_occ * 2.5)))
+        cap = max(4, int(math.ceil(mean_occ * occ_factor)))
     return CBSpec(ncells=tuple(int(x) for x in nc), cap=int(cap))
 
 
@@ -119,7 +126,8 @@ class CBState:
     system: SystemState
     key: jax.Array
     shift: jax.Array  # [d] grid origin offset
-    planes: jax.Array  # [d+1, nc_total, cap]: x..z planes (SHIFTED frame) + species
+    planes: jax.Array  # [NP, nc_total, cap]: x..z planes (SHIFTED frame) +
+    # species (+ id / bond-partner / molecule-layout planes when molecular)
     idx: jax.Array  # [nc_total, cap] i32 particle ids, -1 padded
     slot: jax.Array  # [n] i32 flat payload slot of each particle
     attempted: jax.Array  # [n_moves] per-move attempt counters
@@ -146,8 +154,44 @@ def _cell_vec(x, shift, box, spec: CBSpec):
     return jnp.clip(c, 0, nc - 1)
 
 
+def _mol_columns(system: SystemState):
+    """Per-particle molecular payload columns (as floats, -1 padded):
+    particle id, B bond-partner ids, molecule start id, molecule length.
+
+    These ride along in the plane payload so that the hyper-sweep can do all
+    bond bookkeeping by ID-MATCHING inside the already-extracted 3^d
+    neighbour blocks — a bonded partner is always within one interaction
+    range (<= cell side, tables.interaction_range) of its mate, hence inside
+    the block; no global index gathers (which serialise on TPU) are needed.
+    Molecule ids are consecutive runs (reference src/molecules.jl:112-139),
+    so start/length per particle come from run-boundary cummax/cummin.
+    Ids are exact in f32 up to 2^24 particles."""
+    if system.bonds is None:
+        return []
+    n = system.position.shape[0]
+    dt = system.position.dtype
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cols = [iota.astype(dt)]
+    for b in range(system.bonds.shape[1]):
+        cols.append(system.bonds[:, b].astype(dt))
+    mol = system.molecule
+    diff = mol[1:] != mol[:-1]
+    one = jnp.ones((1,), bool)
+    start_pp = jax.lax.cummax(
+        jnp.where(jnp.concatenate([one, diff]), iota, 0)
+    )
+    end_pp = jax.lax.cummin(
+        jnp.where(jnp.concatenate([diff, one]), iota, n - 1), reverse=True
+    )
+    cols.append(start_pp.astype(dt))
+    cols.append((end_pp - start_pp + 1).astype(dt))
+    return cols
+
+
 def rebin(system: SystemState, spec: CBSpec, shift):
-    """Gather-form binning: [d+1, total, cap] shifted positions + species.
+    """Gather-form binning: [NP, total, cap] planes — d shifted position
+    planes + species (+ id, B bond-partner ids, mol start, mol length for
+    molecular systems, see _mol_columns).
 
     Built entirely from sorts + gathers (one [n] permutation scatter for the
     inverse map) — 2D scatters into the [total, cap] slot matrix serialise
@@ -174,8 +218,11 @@ def rebin(system: SystemState, spec: CBSpec, shift):
     pc = jnp.minimum(p, n - 1).reshape(-1)
     idx = jnp.where(valid, jnp.take(order, pc).reshape(spec.total, spec.cap), -1)
     safe = jnp.maximum(idx, 0).reshape(-1)
-    comps = [xs[:, j] for j in range(d)] + [system.species.astype(dt)]
-    fills = [jnp.asarray(0.0, dt)] * d + [jnp.asarray(-1.0, dt)]
+    mol_cols = _mol_columns(system)
+    comps = [xs[:, j] for j in range(d)] + [system.species.astype(dt)] + mol_cols
+    fills = [jnp.asarray(0.0, dt)] * d + [jnp.asarray(-1.0, dt)] * (
+        1 + len(mol_cols)
+    )
     planes = jnp.stack(
         [
             jnp.where(valid, jnp.take(cj, safe).reshape(spec.total, spec.cap), f)
@@ -192,8 +239,9 @@ def rebin(system: SystemState, spec: CBSpec, shift):
 
 
 def unbin_positions(planes, slot, shift, box):
-    """Gather payload positions back into a global [N, d] array."""
-    d = planes.shape[0] - 1
+    """Gather payload positions back into a global [N, d] array. The first
+    d planes are positions regardless of any trailing molecular planes."""
+    d = box.shape[-1]
     cols = [jnp.take(planes[j].reshape(-1), slot) + shift[j] for j in range(d)]
     x = jnp.stack(cols, axis=-1)
     return fold_back(x, box)
@@ -226,9 +274,12 @@ _PAIR_FIELDS = ("kind", "eps4", "sigma2", "ipl_n", "rcut2", "shift", "c0", "c2s2
 
 
 class _P:
-    """Attribute bundle matching pair_potential's parameter protocol."""
+    """Attribute bundle matching pair_potential's / bond_potential's
+    parameter protocol."""
 
-    __slots__ = _PAIR_FIELDS
+    __slots__ = _PAIR_FIELDS + (
+        "has_bond", "kr02", "r02", "eps4b", "sigma2b", "shiftb", "rcut2b"
+    )
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -354,6 +405,9 @@ def _slot_schedule(pool, C: int, inner: int):
 # ---------------------------------------------------------------------------
 
 
+_BOND_FIELDS = ("has_bond", "kr02", "r02", "eps4b", "sigma2b", "shiftb", "rcut2b")
+
+
 def build_hyper_sweep_fn(
     spec: CBSpec,
     table: PairTable,
@@ -362,6 +416,7 @@ def build_hyper_sweep_fn(
     inner: int = 4,
     sweeps: int = 1,
     pool=None,
+    max_bonds: int = 0,
 ):
     """Returns the hyper-sweep kernel: one rebin followed by `sweeps`
     hyper-sweeps of ~sweepstep attempted moves each (default n), then one
@@ -401,6 +456,30 @@ def build_hyper_sweep_fn(
     particles stay confined to their cells for the whole block; the shift
     redraw at the next call restores cross-cell diffusion.
 
+    MOLECULAR systems (`max_bonds` = bonds.shape[1] > 0): the payload carries
+    id / bond-partner-id / molecule-start / molecule-length planes
+    (_mol_columns), and `spec` MUST be sized on tables.interaction_range
+    (bond reach can exceed the pair cutoff). Displacement ΔE then excludes
+    bonded partners from the non-bonded sum and adds the FENE+LJ bond delta
+    (reference src/molecules.jl:206-215) with partners located by ID-MATCH
+    inside the extracted blocks (a partner is always within one cell side of
+    its mate; an unfound partner auto-rejects as a safety net — symmetric,
+    since positions of non-movers are static within a substep). MoleculeFlip
+    is proposed CELL-LOCALLY: one particle i uniform in the active cell, a
+    partner site j uniform among the other members of i's molecule,
+    auto-rejecting unless j lies in the SAME active cell (required for
+    cross-cell independence: both species edits stay inside the active cell)
+    and species differ. Selection probabilities are symmetric — the flip
+    moves nothing, so occupancy, molecule length, and the found/not-found
+    status are identical forward and reverse. Flips of sites that never
+    co-occupy a cell are reached by composing cell-local flips (and the
+    per-block grid shifts re-draw the partition), mirroring how in-cell
+    displacement truncation restores ergodicity. Parity with the reference's
+    global uniform molecule+site proposal (src/moves.jl:344-352) is
+    established statistically (tests/test_cb_molecular.py). DiscreteSwap on
+    molecular systems stays sequential-kernel-only (species swaps would need
+    the same bond machinery; the reference's molecular workloads use flips).
+
     (A hand-written pallas ΔE kernel was benchmarked against this XLA path
     on a TPU v5e in round 2 and lost 6x — 516 vs 3008 sweeps/s at N=10k —
     so the XLA-fused evaluation is the only implementation.)"""
@@ -427,17 +506,27 @@ def build_hyper_sweep_fn(
         pool = (_mk_disp(1.0),)
     pool = tuple(pool)
     n_moves = len(pool)
+    molecular = max_bonds > 0
     for mv in pool:
         ok = mv.action == "displacement" or (
-            mv.action == "swap" and mv.policy == "double_uniform"
-        )
+            mv.action == "swap" and mv.policy == "double_uniform" and not molecular
+        ) or (mv.action == "flip" and molecular)
         if not ok:
             raise ValueError(
                 f"checkerboard backend does not support {mv.action}/{mv.policy}"
-                " — use the sequential kernel (parallel_moves=false)"
+                + (" on molecular systems" if molecular else "")
+                + " — use the sequential kernel (parallel_moves=false)"
             )
     has_swap = any(mv.action == "swap" for mv in pool)
+    has_flip = any(mv.action == "flip" for mv in pool)
+    species_live = has_swap or has_flip  # species planes mutate in-substep
     schedule = _slot_schedule(pool, C, inner)
+    # plane layout: [0:d] positions, [d] species, then (molecular only)
+    # [d+1] particle id, [d+2 : d+2+B] bond partner ids, [-2] molecule start,
+    # [-1] molecule length (_mol_columns)
+    NP = d + 1 + (3 + max_bonds if molecular else 0)
+    P_ID, P_B0 = d + 1, d + 2
+    P_MS, P_ML = d + 2 + max_bonds, d + 3 + max_bonds
 
     def hyper_sweep_pool(cb: CBState, pool_params) -> CBState:
         dt = cb.system.position.dtype
@@ -451,7 +540,7 @@ def build_hyper_sweep_fn(
         key, k_shift, k_rand = jax.random.split(cb.key, 3)
         shift = jax.random.uniform(k_shift, (d,), dt) * box
         planes0, idx, slot, ovf = rebin(cb.system, spec, shift)
-        grid0 = planes0.reshape((d + 1,) + spec.ncells + (cap,))
+        grid0 = planes0.reshape((NP,) + spec.ncells + (cap,))
         padded0 = jnp.pad(
             grid0, [(0, 0)] + [(1, 1)] * d + [(0, 0)], mode="wrap"
         )
@@ -473,7 +562,7 @@ def build_hyper_sweep_fn(
                 k_acc, (R, C, inner, A), dt, minval=jnp.finfo(dt).tiny
             ),
         )
-        if has_swap:  # second per-cell pick for the swap partner
+        if has_swap or has_flip:  # second per-cell pick (swap/flip partner)
             rnd["up2"] = jax.random.uniform(
                 k_pick2, (R, C, inner, A), dt, maxval=1.0 - 1e-7
             )
@@ -490,23 +579,87 @@ def build_hyper_sweep_fn(
                 return slice(c[k] + off + 1, c[k] + off + 2 * A_dims[k], 2)
 
             csl = tuple(sl(k, 0) for k in range(d))
-            center = padded[(slice(None),) + csl].reshape(d + 1, A, cap)
-            center_sp = center[d]  # -1.0 == empty slot; LIVE if pool has swaps
+            center = padded[(slice(None),) + csl].reshape(NP, A, cap)
+            center_sp = center[d]  # -1.0 == empty; LIVE if pool swaps/flips
             center_pos = [center[j] for j in range(d)]
             # the 26 surrounding blocks never contain another ACTIVE cell, so
             # they are static across the inner sub-moves
             others = jnp.concatenate(
                 [
                     padded[(slice(None),) + tuple(sl(k, t[k]) for k in range(d))]
-                    .reshape(d + 1, A, cap)
+                    .reshape(NP, A, cap)
                     for t in offsets
                 ],
                 axis=-1,
-            )  # [d+1, A, 26*cap]
+            )  # [NP, A, 26*cap]
             pos_o = others[:d]
             sp_o = others[d]
             valid_o = sp_o >= 0
             sp_o_safe = jnp.maximum(sp_o, 0.0)
+            if molecular:
+                # static molecular planes (ids/bonds/molecule layout never
+                # change; flips only edit species)
+                center_id = center[P_ID]
+                center_bnd = [center[P_B0 + b] for b in range(max_bonds)]
+                center_ms, center_ml = center[P_MS], center[P_ML]
+                oth_id = others[P_ID]
+
+                def bond_excl(ids_nb, partners):
+                    """Mask of lanes that are bonded partners of the mover
+                    (excluded from the non-bonded sum, reference
+                    src/molecules.jl:206-215)."""
+                    m = jnp.zeros(ids_nb.shape, bool)
+                    for pb in partners:
+                        m = m | ((ids_nb == pb[:, None]) & (pb[:, None] >= 0))
+                    return m
+
+                def find_by_id(pid, live_center_pos, live_center_sp):
+                    """Locate particle `pid` [A] in the 3^d blocks by id
+                    match; returns (pos list d x [A], species [A], found [A]).
+                    Halos are image-corrected, so the position is directly
+                    usable in plain-difference distances."""
+                    mc_ = (center_id == pid[:, None]) & (pid[:, None] >= 0)
+                    mo_ = (oth_id == pid[:, None]) & (pid[:, None] >= 0)
+                    xp = [
+                        jnp.sum(jnp.where(mc_, live_center_pos[j], 0.0), -1)
+                        + jnp.sum(jnp.where(mo_, pos_o[j], 0.0), -1)
+                        for j in range(d)
+                    ]
+                    sp_p = jnp.sum(
+                        jnp.where(mc_, live_center_sp, 0.0), -1
+                    ) + jnp.sum(jnp.where(mo_, sp_o, 0.0), -1)
+                    found = jnp.any(mc_, -1) | jnp.any(mo_, -1)
+                    return xp, sp_p, found
+
+                def bond_delta(x_old, x_new, s_old, s_new, partners, skip_id,
+                               live_center_pos, live_center_sp):
+                    """Σ_b [u_bond(new) − u_bond(old)] over the mover's bond
+                    partners; +inf (→ reject) if a live partner is not found
+                    in the blocks. `skip_id` masks the mutual bond of a flip
+                    pair (cancels exactly by table symmetry). Position AND
+                    species may both change (displacement: x; flip: s)."""
+                    de_b = jnp.zeros((A,), dt)
+                    inf = jnp.asarray(jnp.inf, dt)
+                    for pb in partners:
+                        act = pb >= 0
+                        if skip_id is not None:
+                            act = act & (pb != skip_id)
+                        xp, sp_p, found = find_by_id(
+                            pb, live_center_pos, live_center_sp
+                        )
+                        r2o = jnp.zeros((A,), dt)
+                        r2n = jnp.zeros((A,), dt)
+                        for j in range(d):
+                            dxo = xp[j] - x_old[j]
+                            dxn = xp[j] - x_new[j]
+                            r2o = r2o + dxo * dxo
+                            r2n = r2n + dxn * dxn
+                        po = _pair_params(table, s_old, sp_p, _BOND_FIELDS)
+                        pn = _pair_params(table, s_new, sp_p, _BOND_FIELDS)
+                        du = bond_potential(r2n, pn) - bond_potential(r2o, po)
+                        du = jnp.where(found, du, inf)
+                        de_b = de_b + jnp.where(act, du, jnp.zeros_like(du))
+                    return de_b
 
             # occupancy is static across inner: swaps preserve composition,
             # displacements are confined to their cell
@@ -516,13 +669,14 @@ def build_hyper_sweep_fn(
 
             slots_here = set(int(m) for m in col_sched)
             any_disp = any(pool[m].action == "displacement" for m in slots_here)
+            any_flip = any(pool[m].action == "flip" for m in slots_here)
 
             # neighbour-side parameter selection hoisted out of the hot loop
             # (the `others` species plane is static for the whole substep)
             rows_o = rows_c_static = None
-            if any_disp:
+            if any_disp or any_flip:
                 rows_o = _pair_params_rows(table, sp_o_safe, pf)
-                if not has_swap:  # center species static too
+                if not species_live:  # center species static too
                     rows_c_static = _pair_params_rows(
                         table, jnp.maximum(center_sp, 0.0), pf
                     )
@@ -569,14 +723,27 @@ def build_hyper_sweep_fn(
                         _pair_params_rows(
                             table, jnp.maximum(center_sp, 0.0), pf
                         )
-                        if has_swap  # center species are live
+                        if species_live  # center species are live
                         else rows_c_static
                     )
+                    if molecular:
+                        # mover's bond partner ids (for exclusion + bond ΔE)
+                        pbs = [
+                            jnp.sum(jnp.where(pick, center_bnd[b], 0.0), -1)
+                            for b in range(max_bonds)
+                        ]
                     de = jnp.zeros((A,), dt)
-                    for pos_nb, rows_nb, valid in (
-                        (center_pos, rows_c, (center_sp >= 0) & ~pick),
-                        (pos_o, rows_o, valid_o),
+                    for pos_nb, ids_nb, rows_nb, valid in (
+                        (
+                            center_pos,
+                            center_id if molecular else None,
+                            rows_c,
+                            (center_sp >= 0) & ~pick,
+                        ),
+                        (pos_o, oth_id if molecular else None, rows_o, valid_o),
                     ):
+                        if molecular:  # bond exclusion in the non-bonded sum
+                            valid = valid & ~bond_excl(ids_nb, pbs)
                         p = _select_row(rows_nb, s_a[:, None], pf)
                         r2o = jnp.zeros(valid.shape, dt)
                         r2n = jnp.zeros(valid.shape, dt)
@@ -591,6 +758,11 @@ def build_hyper_sweep_fn(
                         )
                         de = de + jnp.sum(
                             jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
+                        )
+                    if molecular:  # FENE+LJ bond delta of the moved particle
+                        de = de + bond_delta(
+                            x_a, x_new, s_a, s_a, pbs, None,
+                            center_pos, center_sp,
                         )
 
                     # --- Metropolis accept (overlap → de huge → reject) ------
@@ -610,7 +782,7 @@ def build_hyper_sweep_fn(
                     energy = energy + jnp.sum(booked)
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
-                else:
+                elif mv.action == "swap":
                     # --- in-cell species swap (see build docstring) ----------
                     s1, s2 = mv.species
                     s1f = jnp.asarray(float(s1), dt)
@@ -684,9 +856,116 @@ def build_hyper_sweep_fn(
                     energy = energy + jnp.sum(booked)
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
+                else:
+                    # --- cell-local MoleculeFlip (see build docstring) --------
+                    # pick i uniform in the active cell; partner j uniform
+                    # among the other members of i's molecule; auto-reject
+                    # unless j sits in the SAME active cell and species differ
+                    r = jnp.floor(rnd_c["up"][kin] * occ.astype(dt)).astype(
+                        jnp.int32
+                    )
+                    pick = slot_iota[None, :] == r[:, None]  # [A, cap]
+
+                    def csel(plane, pick=pick):
+                        return jnp.sum(jnp.where(pick, plane, 0.0), axis=-1)
+
+                    x_i = [csel(center_pos[j]) for j in range(d)]
+                    s_i = csel(center_sp)
+                    id_i = csel(center_id)
+                    ms, ml = csel(center_ms), csel(center_ml)
+                    pbs_i = [csel(center_bnd[b]) for b in range(max_bonds)]
+
+                    # partner site: uniform over the L-1 other members,
+                    # skipping i's own rank (symmetric: the flip moves
+                    # nothing, so occ/L/ranks are identical in reverse)
+                    lm1 = jnp.maximum(ml - 1.0, 1.0)
+                    off = jnp.floor(rnd_c["up2"][kin] * lm1)
+                    off = off + (off >= (id_i - ms)).astype(dt)
+                    pj = ms + off
+                    match_j = (center_id == pj[:, None]) & occupied[:, None]
+                    found_j = jnp.any(match_j, axis=-1)
+
+                    def jsel(plane, match_j=match_j):
+                        return jnp.sum(jnp.where(match_j, plane, 0.0), axis=-1)
+
+                    x_j = [jsel(center_pos[j]) for j in range(d)]
+                    s_j = jsel(center_sp)
+                    pbs_j = [jsel(center_bnd[b]) for b in range(max_bonds)]
+                    valid_fl = (
+                        occupied & (ml > 1.5) & found_j & (s_i != s_j)
+                    )
+
+                    # --- ΔE: species of i, j exchange; positions fixed.
+                    # Mutual (i, j) term — non-bonded or bonded — cancels by
+                    # table symmetry, so Δ = Δ_i + Δ_j, each sum excluding
+                    # the pair and its own bonded partners.
+                    rows_c = _pair_params_rows(
+                        table, jnp.maximum(center_sp, 0.0), pf
+                    )
+                    de = jnp.zeros((A,), dt)
+                    for pos_nb, ids_nb, rows_nb, valid in (
+                        (
+                            center_pos,
+                            center_id,
+                            rows_c,
+                            (center_sp >= 0) & ~pick & ~match_j,
+                        ),
+                        (pos_o, oth_id, rows_o, valid_o),
+                    ):
+                        p_i = _select_row(rows_nb, s_i[:, None], pf)
+                        p_j = _select_row(rows_nb, s_j[:, None], pf)
+                        excl_i = bond_excl(ids_nb, pbs_i)
+                        excl_j = bond_excl(ids_nb, pbs_j)
+                        r2i = jnp.zeros(valid.shape, dt)
+                        r2j = jnp.zeros(valid.shape, dt)
+                        for j in range(d):
+                            dxi = pos_nb[j] - x_i[j][:, None]
+                            dxj = pos_nb[j] - x_j[j][:, None]
+                            r2i = r2i + dxi * dxi
+                            r2j = r2j + dxj * dxj
+                        du_i = pair_potential(r2i, p_j, kp) - pair_potential(
+                            r2i, p_i, kp
+                        )
+                        du_j = pair_potential(r2j, p_i, kp) - pair_potential(
+                            r2j, p_j, kp
+                        )
+                        de = de + jnp.sum(
+                            jnp.where(valid & ~excl_i, du_i, jnp.zeros_like(du_i)),
+                            axis=-1,
+                        )
+                        de = de + jnp.sum(
+                            jnp.where(valid & ~excl_j, du_j, jnp.zeros_like(du_j)),
+                            axis=-1,
+                        )
+                    # bond terms: i's bonds re-typed s_i→s_j (skip partner j),
+                    # j's bonds re-typed s_j→s_i (skip partner i)
+                    de = de + bond_delta(
+                        x_i, x_i, s_i, s_j, pbs_i, pj, center_pos, center_sp
+                    )
+                    de = de + bond_delta(
+                        x_j, x_j, s_j, s_i, pbs_j, id_i, center_pos, center_sp
+                    )
+
+                    accept = valid_fl & (
+                        jnp.log(rnd_c["ua"][kin]) < -de / temperature
+                    )
+                    booked = jnp.where(
+                        accept & jnp.isfinite(de), de, jnp.zeros_like(de)
+                    )
+                    flip_i = pick & accept[:, None]
+                    flip_j = match_j & accept[:, None]
+                    center_sp = jnp.where(
+                        flip_i,
+                        s_j[:, None],
+                        jnp.where(flip_j, s_i[:, None], center_sp),
+                    )
+                    energy = energy + jnp.sum(booked)
+                    att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
+                    acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
 
             # --- write the live center back; refresh one halo face per dim --
-            if has_swap:
+            # (molecular id/bond/layout planes are static — never written)
+            if species_live:
                 new_block = jnp.stack(center_pos + [center_sp]).reshape(
                     (d + 1,) + tuple(A_dims) + (cap,)
                 )
@@ -732,11 +1011,11 @@ def build_hyper_sweep_fn(
         )
 
         interior = (slice(None),) + tuple(slice(1, -1) for _ in range(d))
-        planes = padded[interior].reshape(d + 1, spec.total, cap)
+        planes = padded[interior].reshape(NP, spec.total, cap)
         position = unbin_positions(planes, slot, shift, box)
         species = (
             jnp.take(planes[d].reshape(-1), slot).astype(jnp.int32)
-            if has_swap
+            if species_live
             else cb.system.species
         )
         system = cb.system.replace(

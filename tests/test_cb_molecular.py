@@ -1,0 +1,206 @@
+"""Molecular checkerboard backend tests (VERDICT round-1 item 4).
+
+Validation mirrors the reference's molecular test strategy
+(test/runtests.jl:134-193): exact incremental-energy bookkeeping against the
+dense oracle (which the golden 25.6586... energy already pins), plus
+statistical agreement between the checkerboard and sequential kernels on the
+same trimer melt with displacement + MoleculeFlip pools.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particlesmc_tpu.core import energy as E
+from particlesmc_tpu.core.state import bonds_from_pairs, make_system, mol_table
+from particlesmc_tpu.engine import Simulation, build_schedule
+from particlesmc_tpu.io.loader import Chains
+from particlesmc_tpu.models import tables as T
+from particlesmc_tpu.moves import base as MB
+from particlesmc_tpu.moves import checkerboard as CB
+from particlesmc_tpu.moves import kernel as K
+
+
+def _trimer_melt(n_mol=64, density=0.4, temp=2.0, seed=0, dtype=jnp.float64):
+    """Fully-bonded trimer melt (Trimer/Kremer-Grest model, the reference's
+    molecular fixture family — test/molecule.xyz)."""
+    rng = np.random.default_rng(seed)
+    n = 3 * n_mol
+    d = 3
+    L = (n / density) ** (1 / d)
+    per_dim = int(np.ceil(n_mol ** (1 / d)))
+    a = L / per_dim
+    centers = np.stack(
+        np.meshgrid(*[np.arange(per_dim) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)[:n_mol]
+    tri = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.5, 0.866, 0.0]])
+    pos = (centers[:, None, :] + tri[None]).reshape(n, d)
+    pos += rng.uniform(-0.02, 0.02, pos.shape)
+    species = np.tile([1, 2, 3], n_mol)
+    molecule = np.repeat(np.arange(1, n_mol + 1), 3)
+    pairs = []
+    for m in range(n_mol):
+        b = 3 * m
+        pairs += [(b, b + 1), (b, b + 2), (b + 1, b + 2)]
+    bonds = bonds_from_pairs(pairs, n)
+    table = T.Trimer(dtype)
+    st = make_system(
+        pos, species, density, temp, molecule=molecule, bonds=bonds, dtype=dtype
+    )
+    st = E.initialize_energy(st, table, check=True)
+    return st, table
+
+
+def test_interaction_range_includes_bonds():
+    table = T.Trimer(jnp.float64)
+    # FENE r0 max = 1.575 > WCA pair cutoff 2^(1/6)*1.1
+    assert T.interaction_range(table) == pytest.approx(1.575)
+    assert T.interaction_range(table) > table.max_cutoff
+    # bond-free tables: identical to max_cutoff
+    ka = T.KobAndersen(jnp.float64)
+    assert T.interaction_range(ka) == pytest.approx(ka.max_cutoff)
+
+
+def test_molecular_incremental_energy_matches_oracle():
+    """disp+flip hyper-sweeps: booked energy equals a fresh dense molecular
+    recomputation (bond exclusion + FENE deltas + flip species edits), and
+    per-molecule species multisets are exactly conserved."""
+    st, table = _trimer_melt()
+    n = st.n_particles
+    spec = CB.make_cb_spec(
+        np.asarray(st.box), T.interaction_range(table), n, occ_factor=4.0
+    )
+    assert spec is not None
+    B = st.bonds.shape[1]
+
+    pool = (
+        MB.displacement(0.06, probability=0.7),
+        MB.molecule_flip(probability=0.3),
+    )
+    params = MB.init_pool_params(pool)
+    cb = CB.init_cb_state(st, spec, seed=3, n_moves=len(pool))
+    hs = jax.jit(
+        CB.build_hyper_sweep_fn(spec, table, n, inner=2, pool=pool, max_bonds=B)
+    )
+    for _ in range(3):
+        cb = hs(cb, params)
+
+    assert not bool(cb.overflow)
+    att = np.asarray(cb.attempted)
+    acc = np.asarray(cb.accepted)
+    assert (att > 0).all()
+    assert acc[0] > 20  # displacements accepted
+    e_inc = float(cb.system.energy)
+    e_ref = float(
+        E.total_energy_dense(
+            cb.system.position, cb.system.species, cb.system.box, table,
+            cb.system.bonds,
+        )
+    )
+    np.testing.assert_allclose(e_inc, e_ref, rtol=1e-9, atol=1e-7)
+    # flip permutes species in place: per-molecule multisets conserved
+    sp = np.sort(np.asarray(cb.system.species).reshape(-1, 3), axis=1)
+    np.testing.assert_array_equal(sp, np.tile([0, 1, 2], sp.shape[0]).reshape(-1, 3))
+
+
+def test_molecular_statistical_agreement_with_sequential():
+    """Checkerboard disp+flip samples the same equilibrium mean energy as the
+    sequential kernel on the trimer melt (same target, different proposal
+    scheme — the reference's EmptyList-vs-LinkedList differential pattern)."""
+    st, table = _trimer_melt(n_mol=48, density=0.35, temp=2.0, seed=2)
+    n = st.n_particles
+    spec = CB.make_cb_spec(
+        np.asarray(st.box), T.interaction_range(table), n, occ_factor=4.0
+    )
+    assert spec is not None
+    B = st.bonds.shape[1]
+    ms, ml = mol_table(np.asarray(st.molecule))
+
+    pool = (
+        MB.displacement(0.09, probability=0.8),
+        MB.molecule_flip(probability=0.2),
+    )
+    params = MB.init_pool_params(pool)
+    config = K.KernelConfig(
+        pool=pool, table=table, cell_spec=None,
+        mol_start=tuple(ms), mol_len=tuple(ml),
+    )
+    mc = K.init_mc_state(st, config, 13)
+    sweep = jax.jit(K.build_sweep_fn(config, n))
+    for _ in range(300):
+        mc = sweep(mc, params)
+    st_eq = mc.system
+
+    meas = 320
+    cb = CB.init_cb_state(st_eq, spec, seed=11, n_moves=len(pool))
+    hs = jax.jit(
+        CB.build_hyper_sweep_fn(spec, table, n, inner=2, pool=pool, max_bonds=B)
+    )
+    es_cb = []
+    for _ in range(meas):
+        cb = hs(cb, params)
+        es_cb.append(float(cb.system.energy) / n)
+    assert not bool(cb.overflow)
+    acc = np.asarray(cb.accepted) / np.maximum(1, np.asarray(cb.attempted))
+    assert acc[0] > 0.05  # displacements mix
+    assert np.asarray(cb.accepted)[1] > 0  # flips fire
+
+    es_seq = []
+    for _ in range(meas):
+        mc = sweep(mc, params)
+        es_seq.append(float(mc.system.energy) / n)
+
+    m_cb, m_seq = np.mean(es_cb), np.mean(es_seq)
+    b_cb = np.mean(np.reshape(es_cb, (8, -1)), axis=1)
+    b_seq = np.mean(np.reshape(es_seq, (8, -1)), axis=1)
+    s = np.sqrt(np.var(b_cb, ddof=1) / 8 + np.var(b_seq, ddof=1) / 8)
+    assert abs(m_cb - m_seq) < 6 * max(s, 2e-3), (m_cb, m_seq, s)
+
+
+def test_engine_molecular_parallel_moves(tmp_path):
+    """Simulation with parallel_moves=true on a molecular system: runs end to
+    end, books finite energies, writes the reference directory contract."""
+    sts, table = [], None
+    for k in range(2):
+        st, table = _trimer_melt(n_mol=48, density=0.35, seed=10 + k)
+        sts.append(st)
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+    ms, ml = mol_table(np.asarray(sts[0].molecule))
+    chains = Chains(
+        states=batched, table=table, list_type="dense", n_chains=2,
+        list_parameters={"inner": 2}, mol_start=ms, mol_len=ml,
+    )
+    pool = (
+        MB.displacement(0.08, probability=0.8),
+        MB.molecule_flip(probability=0.2),
+    )
+    steps = 6
+    sim = Simulation(
+        chains,
+        [
+            {"algorithm": "Metropolis", "pool": pool, "seed": 5,
+             "parallel_moves": True},
+            {"algorithm": "StoreCallbacks", "callbacks": ("energy",),
+             "scheduler": build_schedule(steps, 0, 2)},
+            {"algorithm": "StoreAcceptance", "dependencies": ("Metropolis",),
+             "scheduler": build_schedule(steps, 0, 2)},
+        ],
+        steps,
+        path=str(tmp_path),
+        verbose=False,
+    )
+    sim.run()
+    e = np.loadtxt(tmp_path / "chains" / "1" / "energy.dat")
+    assert e.shape[0] >= 3 and np.isfinite(e[:, 1]).all()
+    a = np.loadtxt(tmp_path / "moves" / "1" / "acceptance.dat")
+    assert a[-1, 1] > 0
+
+
+def test_molecular_rejects_swap_pool():
+    st, table = _trimer_melt(n_mol=48)
+    n = st.n_particles
+    spec = CB.make_cb_spec(np.asarray(st.box), T.interaction_range(table), n)
+    pool = (MB.discrete_swap(0, 1, probability=1.0),)
+    with pytest.raises(ValueError, match="molecular"):
+        CB.build_hyper_sweep_fn(spec, table, n, pool=pool, max_bonds=2)
