@@ -8,7 +8,13 @@ long-range cutoff correction, and compare mean energies per particle.
 
 Usage:
     python examples/lj-mixture/run-validation.py [--points 5] [--steps 1000]
-        [--n 1000] [--workdir ./tmp-ljmix]
+        [--n 4096] [--workdir ./tmp-ljmix]
+
+Runs on the checkerboard (parallel_moves) backend with a vmapped chain batch
+per state point; N defaults to 4096 because the published rcut = 4 sigma
+needs a >= 16 sigma box before a 4-cell checkerboard grid exists. Energies
+are booked in f64 (incremental f32 bookkeeping drifts over thousands of
+sweeps at |E| ~ 3e4).
 
 Writes calculated-energies.csv next to this script and prints a summary
 table. A correlation plot is saved when matplotlib is importable.
@@ -106,7 +112,8 @@ type = "Metropolis"
 nsim = {nsim}
 steps = {steps}
 seed = 42
-precision = "f32"
+precision = "f64"
+parallel_moves = true
 output_path = "{workdir}"
 
 [[simulation.move]]
@@ -153,8 +160,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=None, help="limit state points")
     ap.add_argument("--steps", type=int, default=1000)
-    ap.add_argument("--n", type=int, default=1000)
-    ap.add_argument("--nsim", type=int, default=4, help="chains per state point")
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--nsim", type=int, default=8, help="chains per state point")
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
     args = ap.parse_args()
 

@@ -49,6 +49,45 @@ class BLANPG:
     reg: float
 
 
+def build_surrogate_fns(config, n: int):
+    """(sample_prop, surrogate_at) for the PGMC estimator.
+
+    sample_prop(theta, m, key, st, cell) draws one (detached) proposal from
+    q_θ. surrogate_at(prop, theta, m, st, cell) evaluates the surrogate
+    L(θ) = exp(log q(a;θ) − stopgrad(log q(a;θ))) · A(a;θ) · R(a) at a FIXED
+    action — jax.grad of it at the sampling θ is the score-function gradient
+    term plus the pathwise acceptance term (module docstring). Splitting the
+    two stages makes the gradient finite-difference-checkable: at fixed
+    `prop`, stop_gradient is the identity in forward evaluations, so
+    (L(θ+h) − L(θ−h)) / 2h converges to the autodiff gradient
+    (tests/test_pgmc.py::test_surrogate_gradient_matches_finite_differences).
+    """
+    propose_fns, _ = K.make_proposal_fns(config, n)
+    logq_fns = K.make_logq_fns(config, n)
+    delta_e = K.build_delta_e_fn(config, n)
+    rewards = [K.move_reward(m) for m in config.pool]
+
+    def sample_prop(theta, m, key, st, cell):
+        return jax.lax.stop_gradient(propose_fns[m](key, st, cell, theta))
+
+    def surrogate_at(prop, theta, m, st, cell):
+        lqf, lqr = logq_fns[m](prop, st, cell, theta)
+        e1, e2 = delta_e(st, cell, prop)
+        e1 = jax.lax.stop_gradient(e1)
+        e2 = jax.lax.stop_gradient(e2)
+        dlt = -(e2 - e1) / st.temperature
+        log_alpha = dlt + lqr - lqf
+        log_alpha = jnp.where(
+            jnp.isnan(log_alpha), jnp.asarray(-jnp.inf, e1.dtype), log_alpha
+        )
+        A = jnp.minimum(jnp.ones_like(log_alpha), jnp.exp(log_alpha))
+        R = jax.lax.stop_gradient(rewards[m](prop, st))
+        ratio = jnp.exp(lqf - jax.lax.stop_gradient(lqf))
+        return ratio * A * R, lqf
+
+    return sample_prop, surrogate_at
+
+
 class PGMC:
     """Estimator + updater pair bound to a Simulation (engine/simulation.py)."""
 
@@ -62,28 +101,12 @@ class PGMC:
         self.q_batch_size = int(q_batch_size)
         self.learnable = [len(m.params) > 0 for m in config.pool]
 
-        propose_fns, _ = K.make_proposal_fns(config, n)
-        logq_fns = K.make_logq_fns(config, n)
-        delta_e = K.build_delta_e_fn(config, n)
-        rewards = [K.move_reward(m) for m in config.pool]
+        sample_prop, surrogate_at = build_surrogate_fns(config, n)
 
         def surrogate(theta, m, key, st, cell, params_all):
             """L(θ_m) for one sampled proposal of move m in state st."""
-            prop = propose_fns[m](key, st, cell, theta)
-            prop = jax.lax.stop_gradient(prop)
-            lqf, lqr = logq_fns[m](prop, st, cell, theta)
-            e1, e2 = delta_e(st, cell, prop)
-            e1 = jax.lax.stop_gradient(e1)
-            e2 = jax.lax.stop_gradient(e2)
-            dlt = -(e2 - e1) / st.temperature
-            log_alpha = dlt + lqr - lqf
-            log_alpha = jnp.where(
-                jnp.isnan(log_alpha), jnp.asarray(-jnp.inf, e1.dtype), log_alpha
-            )
-            A = jnp.minimum(jnp.ones_like(log_alpha), jnp.exp(log_alpha))
-            R = jax.lax.stop_gradient(rewards[m](prop, st))
-            ratio = jnp.exp(lqf - jax.lax.stop_gradient(lqf))
-            return ratio * A * R, lqf
+            prop = sample_prop(theta, m, key, st, cell)
+            return surrogate_at(prop, theta, m, st, cell)
 
         def estimate_one_move(m):
             def per_chain(mc, params_all, key):

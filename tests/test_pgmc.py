@@ -89,6 +89,120 @@ def test_pgmc_learns_parameters(tmp_path):
     assert p2.shape[1] == 3  # step, theta1, theta2
 
 
+def test_surrogate_gradient_matches_finite_differences():
+    """jax.grad of the PGMC surrogate at a FIXED sampled action equals the
+    central finite difference of the same expression (stop_gradient is the
+    identity in forward evaluations) — pins the estimator's autodiff plumbing
+    for both the Gaussian sigma and the EnergyBias thetas (VERDICT round-1
+    weak item 5)."""
+    from particlesmc_tpu.engine.pgmc import build_surrogate_fns
+    from particlesmc_tpu.moves import kernel as K
+
+    chains = _ka2d_chains(m=1)
+    st = jax.tree.map(lambda x: x[0], chains.states)
+    pool = (
+        MB.displacement(0.08, probability=0.8),
+        MB.discrete_swap(0, 2, 0.2, policy="energy_bias",
+                         theta1=0.3, theta2=-0.2),
+    )
+    config = K.KernelConfig(pool=pool, table=chains.table, cell_spec=None)
+    n = st.position.shape[0]
+    sample_prop, surrogate_at = build_surrogate_fns(config, n)
+    params = MB.init_pool_params(pool)
+
+    for m in range(len(pool)):
+        theta0 = params[m]
+        found_live = False
+        for trial in range(8):  # find a proposal with A strictly inside (0,1)
+            key = jax.random.PRNGKey(100 + 31 * trial + m)
+            prop = sample_prop(theta0, m, key, st, None)
+
+            def L(theta):
+                return surrogate_at(prop, theta, m, st, None)[0]
+
+            # The surrogate's importance ratio exp(lqf − stopgrad(lqf)) is
+            # identically 1 in FORWARD evaluations (that is the point of the
+            # trick), so finite differences must target the undetached
+            # objective f(θ) = exp(lqf(θ) − lqf(θ0)) · A(θ) · R, whose
+            # gradient at θ0 equals grad L by construction.
+            lqf0 = float(surrogate_at(prop, theta0, m, st, None)[1])
+
+            def f(theta):
+                val, lqf = surrogate_at(prop, theta, m, st, None)
+                return float(np.exp(float(lqf) - lqf0)) * float(val)
+
+            val = f(theta0)
+            if not (1e-6 < val):
+                continue
+            g = jax.grad(L)(theta0)
+            h = 1e-5
+            for name in theta0:
+                e = {
+                    k: (v + h if k == name else v) for k, v in theta0.items()
+                }
+                e2 = {
+                    k: (v - h if k == name else v) for k, v in theta0.items()
+                }
+                fd = (f(e) - f(e2)) / (2 * h)
+                ad = float(g[name])
+                assert abs(ad - fd) < 1e-4 * max(1.0, abs(fd)), (
+                    m, name, ad, fd
+                )
+                found_live = found_live or abs(ad) > 1e-8
+            if found_live:
+                break
+        assert found_live, f"no live gradient found for move {m}"
+
+
+def test_score_gradient_agrees_with_pathwise_derivative():
+    """Semantic check of the estimator (not just movement): the mean
+    score-function gradient must agree with an INDEPENDENT estimator of
+    dJ/dσ — the pathwise (reparameterised) derivative. The Gaussian policy
+    samples δ = σ·z, so with common random numbers Ĵ(σ) = mean[A·|δ|²] is
+    differentiable in σ and its central finite difference estimates the same
+    dJ/dσ by a completely different route. Both must also resolve the true
+    uphill direction (J grows with σ while acceptance is still healthy)."""
+    from particlesmc_tpu.engine.pgmc import build_surrogate_fns
+    from particlesmc_tpu.moves import kernel as K
+
+    chains = _ka2d_chains(m=1)
+    st = jax.tree.map(lambda x: x[0], chains.states)
+    pool = (MB.displacement(0.05),)
+    config = K.KernelConfig(pool=pool, table=chains.table, cell_spec=None)
+    n = st.position.shape[0]
+    sample_prop, surrogate_at = build_surrogate_fns(config, n)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2048)
+
+    s0, h = 0.3, 1e-3
+
+    def score_grad(sigma):
+        theta = {"sigma": jnp.asarray(sigma, jnp.float64)}
+
+        def one(key):
+            prop = sample_prop(theta, 0, key, st, None)
+            return jax.grad(
+                lambda th: surrogate_at(prop, th, 0, st, None)[0]
+            )(theta)["sigma"]
+
+        g = jax.vmap(one)(keys)
+        return float(jnp.mean(g)), float(jnp.std(g) / np.sqrt(len(keys)))
+
+    def J_hat(sigma):
+        theta = {"sigma": jnp.asarray(sigma, jnp.float64)}
+
+        def one(key):
+            prop = sample_prop(theta, 0, key, st, None)
+            # forward value of the surrogate is A·R (the ratio is 1)
+            return surrogate_at(prop, theta, 0, st, None)[0]
+
+        return jnp.mean(jax.vmap(one)(keys))
+
+    g, se = score_grad(s0)
+    fd = float((J_hat(s0 + h) - J_hat(s0 - h)) / (2 * h))
+    assert abs(g - fd) < 4 * se, (g, fd, se)
+    assert g > 0 and fd > 0, (g, fd)  # true uphill direction resolved
+
+
 def test_reward_definitions():
     from particlesmc_tpu.moves.kernel import move_reward, Proposal
 
