@@ -106,13 +106,14 @@ def stage1_lattice(m: int, density: float, path: str) -> None:
             f.write(f"{A} {A + 1}\n{A + 1} {A + 2}\n{A} {A + 2}\n")
 
 
-def params_toml(cfg, T, density, steps, out, traj_interval=None, flip=True):
+def params_toml(cfg, T, density, steps, out, traj_interval=None, flip=True,
+                nsim=1, traj_log=False, sigma=0.06, parallel=True):
     moves = """
 [[simulation.move]]
 action = "Displacement"
 probability = 0.9
 policy = "SimpleGaussian"
-parameters = {sigma = 0.06}
+parameters = {sigma = %SIGMA%}
 
 [[simulation.move]]
 action = "MoleculeFlip"
@@ -124,13 +125,23 @@ parameters = {}
 action = "Displacement"
 probability = 1.0
 policy = "SimpleGaussian"
-parameters = {sigma = 0.06}
+parameters = {sigma = %SIGMA%}
 """
+    moves = moves.replace("%SIGMA%", str(sigma))
+    if traj_interval and traj_log:
+        # one log-base-2 block spanning the whole run: frames at
+        # 0, 1, 2, 4, ... — the reference production template
+        # (3-run-production/params-template.toml scheduler_params)
+        traj_sched = (
+            f"scheduler_params = {{linear_interval = {steps}, log_base = 2.0}}"
+        )
+    else:
+        traj_sched = f"scheduler_params = {{linear_interval = {traj_interval}}}"
     traj = (
         f"""
 [[simulation.output]]
 algorithm = "StoreTrajectories"
-scheduler_params = {{linear_interval = {traj_interval}}}
+{traj_sched}
 fmt = "EXYZ"
 """
         if traj_interval
@@ -148,9 +159,11 @@ list_type = "LinkedList"
 
 [simulation]
 type = "Metropolis"
+nsim = {nsim}
 steps = {steps}
 seed = 11
-precision = "f32"
+precision = "mixed"
+parallel_moves = {str(bool(parallel)).lower()}
 output_path = "{out}"
 {moves}
 [[simulation.output]]
@@ -192,10 +205,25 @@ def main():
     ap.add_argument("--dens-steps", type=int, default=40)
     ap.add_argument("--equil-steps", type=int, default=200)
     ap.add_argument("--prod-steps", type=int, default=400)
+    ap.add_argument("--nsim", type=int, default=1,
+                    help="chains per stage (F_s averages over them)")
     ap.add_argument("--temperatures", type=float, nargs="+", default=[2.0, 1.4])
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
     args = ap.parse_args()
     wd = args.workdir
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # checkerboard backend needs >= 4 cells of the bond reach (1.65 here)
+    # per dimension at the DENSEST stage; below that the engine would refuse
+    # parallel_moves, so small smoke runs fall back to the sequential kernel
+    L_dense = (3 * args.molecules / 1.2) ** (1 / 3)
+    use_parallel = L_dense / 1.65 >= 4.0
+    print(f"backend: {'checkerboard' if use_parallel else 'sequential'} "
+          f"(L={L_dense:.2f} at rho=1.2)", flush=True)
 
     # ---- stage 1: lattice + staged densification --------------------------
     s1 = os.path.join(wd, "1-densify")
@@ -204,7 +232,7 @@ def main():
     stage1_lattice(args.molecules, DENSITIES[0], cfg)
     for rho in DENSITIES:
         out = os.path.join(s1, f"rho-{rho}")
-        run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out), out)
+        run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out, parallel=use_parallel), out)
         shutil.copy(os.path.join(out, "chains", "1", "lastframe.xyz"), cfg)
         print(f"[stage 1] density {rho} done", flush=True)
 
@@ -212,11 +240,11 @@ def main():
     lastframes = {}
     for T in args.temperatures:
         out = os.path.join(wd, "2-equilibrate", str(T))
-        run_cli(params_toml(cfg, T, 1.2, args.equil_steps, out), out)
+        run_cli(params_toml(cfg, T, 1.2, args.equil_steps, out, parallel=use_parallel), out)
         lastframes[T] = os.path.join(out, "chains", "1", "lastframe.xyz")
         print(f"[stage 2] T={T} equilibrated", flush=True)
 
-    # ---- stage 3: production with trajectories ----------------------------
+    # ---- stage 3: production with log-spaced trajectories -----------------
     trajs = {}
     for T in args.temperatures:
         out = os.path.join(wd, "3-production", str(T))
@@ -224,10 +252,14 @@ def main():
             params_toml(
                 lastframes[T], T, 1.2, args.prod_steps, out,
                 traj_interval=max(1, args.prod_steps // 50),
+                nsim=args.nsim, traj_log=True, parallel=use_parallel,
             ),
             out,
         )
-        trajs[T] = os.path.join(out, "chains", "1", "trajectory.exyz")
+        trajs[T] = [
+            os.path.join(out, "chains", str(k + 1), "trajectory.exyz")
+            for k in range(args.nsim)
+        ]
         print(f"[stage 3] T={T} production done", flush=True)
 
     # ---- stage 4: F_s(k, t) at k = 7.4 ------------------------------------
@@ -240,8 +272,12 @@ def main():
     with open(out_csv, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["T", "step", "fskt"])
-        for T, traj in trajs.items():
-            steps, F = fskt(traj, 7.4, box)
+        for T, paths in trajs.items():
+            Fs = []
+            for traj in paths:
+                steps, F = fskt(traj, 7.4, box)
+                Fs.append(F)
+            F = np.mean(Fs, axis=0)  # average over independent chains
             for s, v in zip(steps, F):
                 w.writerow([T, s, v])
             print(f"[stage 4] T={T}: F_s(k,t) from {F[0]:.3f} to {F[-1]:.3f}", flush=True)

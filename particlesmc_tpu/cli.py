@@ -116,9 +116,18 @@ def run_params(params: Dict[str, Any], resume: str | None = None):
     sim_cfg = params["simulation"]
 
     precision = str(sim_cfg.get("precision", system.get("precision", "f64")))
+    energy_precision = None
     if precision in ("f64", "float64", "double"):
         jax.config.update("jax_enable_x64", True)
         dtype = "float64"
+    elif precision in ("mixed", "f32x64"):
+        # f32 state (full TPU speed) + f64 incremental-energy ledger: long
+        # runs book millions of O(1) deltas into an O(1e4) accumulator, and
+        # an f32 ledger random-walks by ~1e-3/particle over thousands of
+        # sweeps (core.energy.initialize_energy docstring)
+        jax.config.update("jax_enable_x64", True)
+        dtype = "float32"
+        energy_precision = "float64"
     else:
         dtype = "float32"
     import jax.numpy as jnp
@@ -141,6 +150,7 @@ def run_params(params: Dict[str, Any], resume: str | None = None):
     chains = load_chains(
         system["config"], args=args, verbose=bool(sim_cfg.get("verbose", False)),
         dtype=jnp.float64 if dtype == "float64" else jnp.float32,
+        energy_dtype=jnp.float64 if energy_precision else None,
     )
 
     steps = int(sim_cfg["steps"])

@@ -284,10 +284,18 @@ def pressure(position, species, box, table, density, temperature, bonds=None):
     return density * temperature + w / (d * vol)
 
 
-def initialize_energy(state, table: PairTable, check: bool = True):
+def initialize_energy(state, table: PairTable, check: bool = True, energy_dtype=None):
     """Compute and store the initial total energy; reject Inf/NaN initial
-    configurations like the reference constructor (src/atoms.jl:51-56)."""
+    configurations like the reference constructor (src/atoms.jl:51-56).
+
+    `energy_dtype` upcasts the stored accumulator (mixed precision: f32
+    positions with an f64 incremental-energy ledger — at |E| ~ 3e4 an f32
+    accumulator rounds each booked ΔE at ~2e-3, a random-walk drift that
+    corrupts long energy averages; the kernels preserve the accumulator
+    dtype through JAX type promotion)."""
     e = total_energy_dense(state.position, state.species, state.box, table, state.bonds)
+    if energy_dtype is not None:
+        e = e.astype(energy_dtype)
     if check:
         ev = float(e)
         if not (ev == ev) or ev in (float("inf"), float("-inf")):

@@ -68,7 +68,7 @@ def load_checkpoint(path: str, config, dtype=None) -> Tuple["MCState", tuple, in
         box=jnp.asarray(z["box"], dt),
         temperature=jnp.asarray(z["temperature"], dt),
         density=jnp.asarray(z["density"], dt),
-        energy=jnp.asarray(z["energy"], dt),
+        energy=jnp.asarray(z["energy"]),  # ledger keeps its own dtype (mixed precision)
         molecule=jnp.asarray(z["molecule"], jnp.int32) if "molecule" in z else None,
         bonds=jnp.asarray(z["bonds"], jnp.int32) if "bonds" in z else None,
     )
@@ -111,7 +111,7 @@ def load_checkpoint_checkerboard(path: str, spec, dtype=None):
         box=jnp.asarray(z["box"], dt),
         temperature=jnp.asarray(z["temperature"], dt),
         density=jnp.asarray(z["density"], dt),
-        energy=jnp.asarray(z["energy"], dt),
+        energy=jnp.asarray(z["energy"]),  # ledger keeps its own dtype (mixed precision)
         molecule=jnp.asarray(z["molecule"], jnp.int32) if "molecule" in z else None,
         bonds=jnp.asarray(z["bonds"], jnp.int32) if "bonds" in z else None,
     )

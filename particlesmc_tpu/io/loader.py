@@ -94,12 +94,14 @@ def load_chains(
     filename: str = "",
     verbose: bool = False,
     dtype=jnp.float64,
+    energy_dtype=None,
 ) -> Chains:
     """Build a batch of chains from one file / a directory of files.
 
     `args` accepts the reference keys (src/IO/IO.jl:210-331): temperature
     (scalar or list), density, model (name string or per-pair dict), list_type,
-    list_parameters, nsim.
+    list_parameters, nsim. `energy_dtype` upcasts the incremental-energy
+    accumulator (mixed precision, see core.energy.initialize_energy).
     """
     args = dict(args or {})
     input_files = _gather_input_files(init_path, filename)
@@ -199,7 +201,7 @@ def load_chains(
             dtype=dtype,
             **kwargs,
         )
-        st = initialize_energy(st, table)
+        st = initialize_energy(st, table, energy_dtype=energy_dtype)
         states.append(st)
     if molecular:
         from ..core.state import mol_table
