@@ -33,6 +33,8 @@ cannot inflate it, so it tracks actual configuration-space mixing.
 Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_MODE (cb|seq),
 BENCH_SIGMA, BENCH_SWAP (swap-move fraction, 0 disables), BENCH_REBIN,
 BENCH_INNER (default 16 — measured best on TPU v5e), BENCH_CAP,
+BENCH_MOL (1 = Kremer-Grest trimer melt with a disp+10%-flip pool on the
+molecular checkerboard path; N is rounded to a multiple of 3),
 BASELINE_NODE_CORES.
 """
 
@@ -42,6 +44,9 @@ import sys
 import time
 
 N = int(os.environ.get("BENCH_N", 10_000))
+MOL = os.environ.get("BENCH_MOL", "0") == "1"
+if MOL:
+    N -= N % 3
 CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
 MODE = os.environ.get("BENCH_MODE", "cb")
@@ -73,6 +78,30 @@ def _config(dtype):
     return pos, species
 
 
+def _mol_config(dtype):
+    """Trimer melt: planar 3-site molecules on a molecular lattice."""
+    import numpy as np
+
+    n_mol = N // 3
+    L = (N / DENSITY) ** (1 / DIM)
+    per = int(np.ceil(n_mol ** (1 / DIM)))
+    a = L / per
+    rng = np.random.default_rng(0)
+    centers = np.stack(
+        np.meshgrid(*[np.arange(per) * a + a / 2] * DIM, indexing="ij"), -1
+    ).reshape(-1, DIM)[:n_mol]
+    tri = np.array([[0.0, 0.0, 0.0], [0.97, 0.0, 0.0], [0.5, 0.85, 0.0]])
+    pos = (centers[:, None, :] + tri[None]).reshape(N, DIM)
+    pos += rng.uniform(-0.02, 0.02, pos.shape)
+    species = np.tile([1, 2, 3], n_mol).astype(np.int32)
+    molecule = np.repeat(np.arange(1, n_mol + 1), 3)
+    pairs = []
+    for m in range(n_mol):
+        b = 3 * m
+        pairs += [(b, b + 1), (b, b + 2), (b + 1, b + 2)]
+    return np.asarray(pos, np.float32), species, molecule, pairs
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -83,17 +112,32 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from particlesmc_tpu.core.state import make_system
+    from particlesmc_tpu.core.state import bonds_from_pairs, make_system
     from particlesmc_tpu.models import tables as T
 
     dtype = jnp.float32
-    pos, species = _config(dtype)
-    table = T.KobAndersen(dtype)
-    st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=dtype)
+    max_bonds = 0
+    if MOL:
+        pos, species, molecule, pairs = _mol_config(dtype)
+        table = T.Trimer(dtype)
+        st = make_system(
+            pos, species, DENSITY, TEMPERATURE,
+            molecule=molecule, bonds=bonds_from_pairs(pairs, N), dtype=dtype,
+        )
+        max_bonds = int(st.bonds.shape[-1])
+    else:
+        pos, species = _config(dtype)
+        table = T.KobAndersen(dtype)
+        st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=dtype)
 
     from particlesmc_tpu.moves import base as MB
 
-    if P_SWAP > 0:
+    if MOL:
+        pool = (
+            MB.displacement(SIGMA, probability=0.9),
+            MB.molecule_flip(probability=0.1),
+        )
+    elif P_SWAP > 0:
         pool = (
             MB.displacement(SIGMA, probability=1.0 - P_SWAP),
             MB.discrete_swap(0, 1, probability=P_SWAP),
@@ -110,14 +154,18 @@ def main():
         # cap=32 ~= 1.64x the mean occupancy — validated overflow-free over
         # 768 sweeps from the lattice start at EXACTLY this state point (the
         # sticky overflow flag below guards the result regardless); any other
-        # state point falls back to the conservative library default (2.5x).
-        at_validated_point = (N, DENSITY, TEMPERATURE) == (10_000, 1.2, 1.0)
+        # state point falls back to the conservative library default.
+        at_validated_point = (
+            (N, DENSITY, TEMPERATURE) == (10_000, 1.2, 1.0) and not MOL
+        )
         cap_env = os.environ.get("BENCH_CAP", "32" if at_validated_point else "")
+        cb_rcut = T.interaction_range(table) if MOL else table.max_cutoff
         spec = CB.make_cb_spec(
             __import__("numpy").asarray(st.box),
-            table.max_cutoff,
+            cb_rcut,
             N,
             cap=int(cap_env) if cap_env else None,
+            occ_factor=4.0 if MOL else 2.5,
         )
         if spec is None:  # box too small for a 4-cell checkerboard grid
             print(
@@ -125,7 +173,12 @@ def main():
                 file=sys.stderr,
             )
             mode = "seq"
-    pool_label = f"disp+{P_SWAP:.0%}swap" if P_SWAP > 0 else "disp"
+    if MOL:
+        pool_label = "trimer disp+10%flip"
+    elif P_SWAP > 0:
+        pool_label = f"disp+{P_SWAP:.0%}swap"
+    else:
+        pool_label = "disp"
     if mode == "cb":
         hs = CB.build_hyper_sweep_fn(
             spec,
@@ -134,6 +187,7 @@ def main():
             inner=int(os.environ.get("BENCH_INNER", "16")),
             sweeps=REBIN,
             pool=pool,
+            max_bonds=max_bonds,
         )
 
         @jax.jit
@@ -150,14 +204,21 @@ def main():
         def advance(s, i):
             return step(s)
 
+        model_label = "KG" if MOL else "LJ"
         label = (
-            f"checkerboard MC sweeps/s/chip, N={N} LJ {pool_label}, "
-            f"{CHAINS} chains"
+            f"checkerboard MC sweeps/s/chip, N={N} {model_label} "
+            f"{pool_label}, {CHAINS} chains"
         )
     else:
         from particlesmc_tpu.moves import kernel as K
 
-        config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
+        mol_kw = {}
+        if MOL:
+            from particlesmc_tpu.core.state import mol_table
+
+            ms, ml = mol_table(__import__("numpy").asarray(st.molecule))
+            mol_kw = dict(mol_start=tuple(ms), mol_len=tuple(ml))
+        config = K.KernelConfig(pool=pool, table=table, cell_spec=None, **mol_kw)
 
         @jax.jit
         def init_all(st):
@@ -172,9 +233,10 @@ def main():
         def advance(s, i):
             return step(s)
 
+        model_label = "KG" if MOL else "LJ"
         label = (
-            f"sequential MC sweeps/s/chip, N={N} LJ {pool_label}, "
-            f"{CHAINS} chains"
+            f"sequential MC sweeps/s/chip, N={N} {model_label} "
+            f"{pool_label}, {CHAINS} chains"
         )
 
     jax.block_until_ready(state.system.position)

@@ -87,6 +87,15 @@ def steps_for(rho: float, steps: int) -> int:
     return steps * 2 if rho < 0.5 else steps
 
 
+def cap_for(rho: float, rcut: float) -> int:
+    """Checkerboard bucket capacity: dilute LJ gas near T_c clusters hard,
+    so the default 2.5x mean-occupancy cap overflows below rho ~ 0.3 —
+    give dilute points ~8x headroom (buckets are cheap there)."""
+    occ = rho * rcut**3  # cell side ~ rcut
+    factor = 8.0 if rho < 0.35 else 3.0
+    return max(16, int(math.ceil(occ * factor)))
+
+
 def write_params(workdir: str, cfg: str, T: float, rho: float, rcut: float,
                  steps: int, sigma: float, nsim: int) -> str:
     blocks = []
@@ -106,6 +115,7 @@ config = "{cfg}"
 temperature = {T}
 density = {rho}
 list_type = "LinkedList"
+list_parameters = {{cap = {cap_for(rho, rcut)}}}
 
 [model]
 {os.linesep.join(blocks)}
