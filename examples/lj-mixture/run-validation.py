@@ -87,17 +87,23 @@ def steps_for(rho: float, steps: int) -> int:
     return steps * 2 if rho < 0.5 else steps
 
 
-def cap_for(rho: float, rcut: float) -> int:
-    """Checkerboard bucket capacity: dilute LJ gas near T_c clusters hard,
-    so the default 2.5x mean-occupancy cap overflows below rho ~ 0.3 —
-    give dilute points ~8x headroom (buckets are cheap there)."""
-    occ = rho * rcut**3  # cell side ~ rcut
+def cap_for(rho: float, rcut: float, n: int) -> int:
+    """Checkerboard bucket capacity from the TRUE cell geometry: the grid
+    rounds the cell count down to an even number, so cells can be much
+    bigger than rcut (at N=4096, rho=0.4 the side is 5.4 vs rcut 4 — mean
+    occupancy 64, not rho*rcut^3=26). An LJ gas near T_c also clusters
+    hard, so dilute points get ~8x the mean occupancy, dense ones 3x."""
+    L = (n / rho) ** (1 / 3)
+    nc = int(L / rcut)
+    nc -= nc % 2
+    side = L / max(nc, 2)
+    occ = rho * side**3
     factor = 8.0 if rho < 0.35 else 3.0
     return max(16, int(math.ceil(occ * factor)))
 
 
 def write_params(workdir: str, cfg: str, T: float, rho: float, rcut: float,
-                 steps: int, sigma: float, nsim: int) -> str:
+                 steps: int, sigma: float, nsim: int, n: int) -> str:
     blocks = []
     for (s1, s2), eps in EPS.items():
         blocks.append(
@@ -115,7 +121,7 @@ config = "{cfg}"
 temperature = {T}
 density = {rho}
 list_type = "LinkedList"
-list_parameters = {{cap = {cap_for(rho, rcut)}}}
+list_parameters = {{cap = {cap_for(rho, rcut, n)}}}
 
 [model]
 {os.linesep.join(blocks)}
@@ -191,9 +197,22 @@ def main():
         rows = rows[: args.points]
 
     rng = np.random.default_rng(7)
+    cache_path = os.path.join(args.workdir, "results.jsonl")
+    cache = {}
+    if os.path.exists(cache_path):
+        import json as _json
+
+        with open(cache_path) as f:
+            for line in f:
+                r = _json.loads(line)
+                cache[(r["t"], r["x"], r["density"])] = r
     results = []
     for i, row in enumerate(rows):
         T, x, rho, u_ref = (float(row[k]) for k in ("t", "x", "density", "u"))
+        if (T, x, rho) in cache:
+            results.append(cache[(T, x, rho)])
+            print(f"T={T} x={x} rho={rho}: cached", flush=True)
+            continue
         wd = os.path.join(args.workdir, str(i))
         os.makedirs(wd, exist_ok=True)
         L = (args.n / rho) ** (1 / 3)
@@ -204,7 +223,7 @@ def main():
         rc = 4.0
         sigma = sigma_for(rho)
         steps = steps_for(rho, args.steps)
-        params = write_params(wd, cfg, T, rho, rc, steps, sigma, args.nsim)
+        params = write_params(wd, cfg, T, rho, rc, steps, sigma, args.nsim, args.n)
         assert cli_main([params]) == 0
 
         # average the equilibrated tail over the whole vmapped chain batch;
@@ -231,6 +250,10 @@ def main():
                  sigma=sigma, steps=steps,
                  acc_disp=float(acc[-1, 1]), acc_swap=float(acc_sw[-1, 1]))
         )
+        import json as _json
+
+        with open(cache_path, "a") as f:
+            f.write(_json.dumps(results[-1]) + "\n")
         print(
             f"T={T:<7} x={x:<5} rho={rho:<5} u_ref={u_ref:9.4f} "
             f"u={u:9.4f} ± {err:.4f}  sigma={sigma:.2f} "

@@ -288,6 +288,13 @@ class Simulation:
             self._pgmc_update_sched = (
                 set(int(t) for t in upd[0].scheduler) if upd and upd[0].scheduler is not None else set()
             )
+            # Estimation cadence. The reference fires the estimator every
+            # Metropolis step (dependency-driven, test/pgmc_ka2d.jl:48),
+            # which forces 1-sweep device dispatches; q_every=k estimates
+            # every k-th sweep instead, letting the engine batch k sweeps
+            # per dispatch (same expectation — states are drawn from the
+            # same chain, just thinned; default 1 = reference cadence).
+            self._pgmc_every = max(1, int(est[0].extra.get("q_every", 1)))
 
         # Parallel tempering (first-class here; "(soon)" in the reference)
         self._rex = None
@@ -334,8 +341,10 @@ class Simulation:
             if a.scheduler is not None:
                 times.update(int(t) for t in a.scheduler)
         if self._pgmc is not None:
-            # estimator runs every sweep (no scheduler, dependency-driven)
-            times.update(range(self.steps + 1))
+            # estimator events every q_every sweeps (reference cadence = 1,
+            # dependency-driven; larger values batch sweeps per dispatch)
+            times.update(range(0, self.steps + 1, self._pgmc_every))
+            times.add(self.steps)
         return np.asarray(sorted(t for t in times if 0 <= t <= self.steps), np.int64)
 
     # ------------------------------------------------------------------
@@ -550,7 +559,8 @@ class Simulation:
                 with open(os.path.join(self.path, "tempering_acceptance.dat"), "a") as f:
                     f.write(f"{t} {self._rex.rate:.12g}\n")
             if self._pgmc is not None:
-                self._pgmc.estimate()
+                if t % self._pgmc_every == 0 or t == self.steps:
+                    self._pgmc.estimate()
                 if t in self._pgmc_update_sched:
                     self._pgmc.update()
             self._fire_outputs(t)
