@@ -255,11 +255,17 @@ def main():
     att0 = _sum64(state.attempted)
     acc0 = _sum64(state.accepted)
     pos0 = np.asarray(state.system.position)  # [chains, N, d]
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:  # profile ONLY the steady-state timed window
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for i in range(SWEEPS_TIMED):
         state = advance(state, i + 1)
     jax.block_until_ready(state.system.position)
     elapsed = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"# trace written to {trace_dir}", file=sys.stderr)
 
     # one sweep = N attempted moves (the reference convention, sweepstep=N,
     # src/ParticlesMC.jl:246) — counted from the kernel's attempt counter so

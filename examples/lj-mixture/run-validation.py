@@ -182,7 +182,20 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--nsim", type=int, default=8, help="chains per state point")
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
+    ap.add_argument(
+        "--only",
+        action="append",
+        default=None,
+        metavar="T,X,RHO",
+        help="re-run only these state points (repeatable), ignoring the "
+        "cache for them — used to re-run near-critical gas points at a "
+        "system size matched to the reference's N=1000 (finite-size "
+        "effects at rho <= 0.3 are resolvable at our error bars)",
+    )
     args = ap.parse_args()
+    only = None
+    if args.only:
+        only = {tuple(float(v) for v in s.split(",")) for s in args.only}
 
     import jax
 
@@ -209,9 +222,13 @@ def main():
     results = []
     for i, row in enumerate(rows):
         T, x, rho, u_ref = (float(row[k]) for k in ("t", "x", "density", "u"))
-        if (T, x, rho) in cache:
+        selected = only is None or (T, x, rho) in only
+        if (T, x, rho) in cache and not (selected and only is not None):
             results.append(cache[(T, x, rho)])
             print(f"T={T} x={x} rho={rho}: cached", flush=True)
+            continue
+        if not selected:
+            print(f"T={T} x={x} rho={rho}: skipped (--only)", flush=True)
             continue
         wd = os.path.join(args.workdir, str(i))
         os.makedirs(wd, exist_ok=True)
@@ -247,7 +264,7 @@ def main():
         acc_sw = np.loadtxt(os.path.join(wd, "moves", "2", "acceptance.dat"), ndmin=2)
         results.append(
             dict(t=T, x=x, density=rho, u_ref=u_ref, u=u, u_err=err,
-                 sigma=sigma, steps=steps,
+                 sigma=sigma, steps=steps, n=args.n, nsim=args.nsim,
                  acc_disp=float(acc[-1, 1]), acc_swap=float(acc_sw[-1, 1]))
         )
         import json as _json
@@ -264,8 +281,9 @@ def main():
         )
 
     out = os.path.join(HERE, "calculated-energies.csv")
+    fields = list(dict.fromkeys(k for r in results for k in r))
     with open(out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(results[0]))
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
         w.writeheader()
         w.writerows(results)
     print(f"wrote {out}")

@@ -417,6 +417,8 @@ def build_hyper_sweep_fn(
     sweeps: int = 1,
     pool=None,
     max_bonds: int = 0,
+    use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
 ):
     """Returns the hyper-sweep kernel: one rebin followed by `sweeps`
     hyper-sweeps of ~sweepstep attempted moves each (default n), then one
@@ -521,6 +523,32 @@ def build_hyper_sweep_fn(
     has_flip = any(mv.action == "flip" for mv in pool)
     species_live = has_swap or has_flip  # species planes mutate in-substep
     schedule = _slot_schedule(pool, C, inner)
+
+    # Pallas substep (moves/cb_pallas.py): the whole inner loop of a
+    # displacement substep in one VMEM-resident kernel. Built to remove the
+    # HBM re-reads of the static neighbour planes (xprof: the XLA path's ΔE
+    # fusions sit at HBM peak), but MEASURED SLOWER on TPU v5e (1.9k vs 3.8k
+    # sweeps/s at the N=10k bench point): Mosaic's codegen for this pattern
+    # trails XLA's fusions, and pallas forces materialisation of the packed
+    # operands that XLA otherwise fuses away — the XLA path overlaps its HBM
+    # streaming with ~75% VPU occupancy, so the reuse win cannot pay. Kept
+    # OFF by default as the documented outcome of that experiment (exact
+    # algorithm parity is pinned by tests/test_cb_pallas.py);
+    # PMC_CB_PALLAS=1 or use_pallas=True opts in.
+    all_disp = all(mv.action == "displacement" for mv in pool)
+    if use_pallas is None:
+        import os as _os
+
+        use_pallas = _os.environ.get("PMC_CB_PALLAS") == "1"
+    pallas_on = bool(use_pallas) and all_disp and not molecular
+    pallas_substep = None
+    if pallas_on:
+        from .cb_pallas import build_disp_substep
+
+        pallas_substep = build_disp_substep(
+            table, kp, pf, d=d, A=A, cap=cap, inner=inner,
+            interpret=pallas_interpret,
+        )
     # plane layout: [0:d] positions, [d] species, then (molecular only)
     # [d+1] particle id, [d+2 : d+2+B] bond partner ids, [-2] molecule start,
     # [-1] molecule length (_mol_columns)
@@ -568,6 +596,18 @@ def build_hyper_sweep_fn(
             )
 
         temperature = cb.system.temperature
+        if pallas_substep is not None:
+            # fold the per-slot sigma and the accept threshold into the bulk
+            # draws so the kernel needs no scalars (same RNG stream as the
+            # XLA path: identical draws, transformed)
+            sig_slot = jnp.stack(
+                [
+                    jnp.stack([sigmas[int(schedule[c_, i_])] for i_ in range(inner)])
+                    for c_ in range(C)
+                ]
+            )  # [C, inner]
+            rnd["dl"] = rnd["dl"] * sig_slot[None, :, :, None, None]
+            rnd["thr"] = -jnp.asarray(temperature, dt) * jnp.log(rnd.pop("ua"))
         slot_iota = jnp.arange(cap, dtype=jnp.int32)
 
         def color_substep(padded, energy, att, acc, ci, rnd_c):
@@ -579,6 +619,42 @@ def build_hyper_sweep_fn(
                 return slice(c[k] + off + 1, c[k] + off + 2 * A_dims[k], 2)
 
             csl = tuple(sl(k, 0) for k in range(d))
+
+            def _write_back(padded, center_pos, center_sp, energy, att, acc):
+                """Write the live center back; refresh one halo face per dim
+                (molecular id/bond/layout planes are static — never written)."""
+                if species_live:
+                    new_block = jnp.stack(center_pos + [center_sp]).reshape(
+                        (d + 1,) + tuple(A_dims) + (cap,)
+                    )
+                    padded = padded.at[(slice(0, d + 1),) + csl].set(new_block)
+                else:
+                    new_center = jnp.stack(center_pos).reshape(
+                        (d,) + tuple(A_dims) + (cap,)
+                    )
+                    padded = padded.at[(slice(0, d),) + csl].set(new_center)
+                # only the LIVE planes need their halo faces refreshed —
+                # positions (and species under swap/flip pools); molecular
+                # id/bond/layout planes never change, so their faces stay
+                # valid from the per-call initialisation
+                np_upd = d + 1 if species_live else d
+                for k in range(d):
+                    nc_k = spec.ncells[k]
+                    if c[k] == 0:
+                        # actives include grid coord 0 -> refresh right halo,
+                        # image-corrected (+L on plane k)
+                        src_i, dst_i = 1, nc_k + 1
+                        corr = box[k]
+                    else:
+                        # actives include grid coord nc-1 -> refresh left halo
+                        src_i, dst_i = nc_k, 0
+                        corr = -box[k]
+                    pre = (slice(0, np_upd),) + (slice(None),) * k
+                    src = padded[pre + (src_i,)]
+                    src = src.at[k].add(corr)
+                    padded = padded.at[pre + (dst_i,)].set(src)
+                return padded, energy, att, acc
+
             center = padded[(slice(None),) + csl].reshape(NP, A, cap)
             center_sp = center[d]  # -1.0 == empty; LIVE if pool swaps/flips
             center_pos = [center[j] for j in range(d)]
@@ -666,6 +742,33 @@ def build_hyper_sweep_fn(
             occ = jnp.sum((center_sp >= 0).astype(jnp.int32), axis=-1)  # [A]
             occupied = occ > 0
             coords = jnp.asarray(base_coords + np.asarray(c), jnp.int32)  # [A, d]
+
+            if pallas_substep is not None:
+                # ---- VMEM-resident inner loop (moves/cb_pallas.py) ----------
+                side = box / jnp.asarray(spec.ncells, dt)
+                lo = coords.astype(dt).T * side[:, None]  # [d, A]
+                hi = lo + side[:, None]
+                packed_pos = jnp.concatenate(
+                    [jnp.stack(center_pos), pos_o], axis=-1
+                )  # [d, A, cap + 26*cap]
+                packed_sp = jnp.concatenate([center_sp, sp_o], axis=-1)
+                new_center, booked_sum, acc_k = pallas_substep(
+                    packed_pos, packed_sp,
+                    rnd_c["up"], rnd_c["dl"], rnd_c["thr"], lo, hi,
+                )
+                center_pos = [new_center[j] for j in range(d)]
+                energy = energy + booked_sum.astype(energy.dtype)
+                occ_cnt = jnp.sum(occupied.astype(att.dtype))
+                for m in range(n_moves):
+                    slots_m = [i for i in range(inner) if int(col_sched[i]) == m]
+                    if not slots_m:
+                        continue
+                    att = att.at[m].add(occ_cnt * len(slots_m))
+                    acc_m = acc_k[slots_m[0]]
+                    for i in slots_m[1:]:
+                        acc_m = acc_m + acc_k[i]
+                    acc = acc.at[m].add(acc_m.astype(acc.dtype))
+                return _write_back(padded, center_pos, center_sp, energy, att, acc)
 
             slots_here = set(int(m) for m in col_sched)
             any_disp = any(pool[m].action == "displacement" for m in slots_here)
@@ -963,35 +1066,7 @@ def build_hyper_sweep_fn(
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
 
-            # --- write the live center back; refresh one halo face per dim --
-            # (molecular id/bond/layout planes are static — never written)
-            if species_live:
-                new_block = jnp.stack(center_pos + [center_sp]).reshape(
-                    (d + 1,) + tuple(A_dims) + (cap,)
-                )
-                padded = padded.at[(slice(0, d + 1),) + csl].set(new_block)
-            else:
-                new_center = jnp.stack(center_pos).reshape(
-                    (d,) + tuple(A_dims) + (cap,)
-                )
-                padded = padded.at[(slice(0, d),) + csl].set(new_center)
-            for k in range(d):
-                ax = 1 + k
-                nc_k = spec.ncells[k]
-                if c[k] == 0:
-                    # actives include grid coord 0 -> refresh right halo,
-                    # image-corrected (+L on plane k)
-                    src = jax.lax.index_in_dim(padded, 1, ax, keepdims=False)
-                    src = src.at[k].add(box[k])
-                    padded = jax.lax.dynamic_update_index_in_dim(
-                        padded, src, nc_k + 1, ax
-                    )
-                else:
-                    # actives include grid coord nc-1 -> refresh left halo (-L)
-                    src = jax.lax.index_in_dim(padded, nc_k, ax, keepdims=False)
-                    src = src.at[k].add(-box[k])
-                    padded = jax.lax.dynamic_update_index_in_dim(padded, src, 0, ax)
-            return padded, energy, att, acc
+            return _write_back(padded, center_pos, center_sp, energy, att, acc)
 
         def round_body(carry, rnd_r):
             padded, energy, att, acc = carry
