@@ -281,6 +281,26 @@ def main():
         )
 
     out = os.path.join(HERE, "calculated-energies.csv")
+    if only is not None and os.path.exists(out):
+        # --only re-runs MERGE into the committed artifact: keep every other
+        # state point's row, replace just the re-run ones (round 2 lost the
+        # full 23-point CSV to an overwrite from a smoke run — never again)
+        with open(out) as f:
+            existing = {
+                (r["t"], r["x"], r["density"]): r for r in csv.DictReader(f)
+            }
+        for r in results:
+            existing[(str(r["t"]), str(r["x"]), str(r["density"]))] = {
+                k: str(v) for k, v in r.items()
+            }
+        results = [
+            existing[(row["t"], row["x"], row["density"])]
+            for row in rows
+            if (row["t"], row["x"], row["density"]) in existing
+        ]
+        for r in results:  # numeric fields back for the summary/plot below
+            for k in ("t", "x", "density", "u", "u_ref", "u_err"):
+                r[k] = float(r[k])
     fields = list(dict.fromkeys(k for r in results for k in r))
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields, restval="")

@@ -166,6 +166,10 @@ def run_params(params: Dict[str, Any], resume: str | None = None):
             # TPU-native extension: checkerboard hyper-sweep backend
             # (~n_active simultaneous moves per substep; displacement-only)
             "parallel_moves": bool(sim_cfg.get("parallel_moves", False)),
+            # TPU-native extension: shard ONE system's cell grid over this
+            # many devices with ppermute halo exchange (parallel/spatial.py);
+            # requires parallel_moves = true and nsim = 1
+            "spatial_devices": int(sim_cfg.get("spatial_devices", 0)),
         }
     ] + _build_outputs(sim_cfg.get("output", []), steps, burn)
 

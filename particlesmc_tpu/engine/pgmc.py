@@ -101,6 +101,18 @@ class PGMC:
         self.q_batch_size = int(q_batch_size)
         self.learnable = [len(m.params) > 0 for m in config.pool]
 
+        # Backend-agnostic estimation: the estimator needs only π-samples
+        # (the chain states, from WHICHEVER kernel advances them) and fresh
+        # proposals a ~ q_θ with their ΔE — so checkerboard-backed runs use
+        # the dense ΔE path on mc.system (CBState carries no cell list).
+        # The learned θ then applies to the parallel kernel's moves; for the
+        # Gaussian σ the objective is evaluated with the reference's global
+        # proposal semantics, an accurate proxy for the checkerboard
+        # displacement while σ ≪ cell side (in-cell truncation negligible).
+        if getattr(sim, "parallel_moves", False):
+            config = dataclasses.replace(config, cell_spec=None)
+        self._has_cell = config.cell_spec is not None
+
         sample_prop, surrogate_at = build_surrogate_fns(config, n)
 
         def surrogate(theta, m, key, st, cell, params_all):
@@ -108,18 +120,21 @@ class PGMC:
             prop = sample_prop(theta, m, key, st, cell)
             return surrogate_at(prop, theta, m, st, cell)
 
+        has_cell = self._has_cell
+
         def estimate_one_move(m):
             def per_chain(mc, params_all, key):
                 st = mc.system
+                cell = mc.cell if has_cell else None
                 keys = jax.random.split(key, self.q_batch_size)
 
                 def per_sample(k):
                     def L(theta):
-                        val, lqf = surrogate(theta, m, k, st, mc.cell, params_all)
+                        val, lqf = surrogate(theta, m, k, st, cell, params_all)
                         return val, lqf
 
                     (val, lqf), grads = jax.value_and_grad(L, has_aux=True)(params_all[m])
-                    score = jax.grad(lambda th: surrogate(th, m, k, st, mc.cell, params_all)[1])(
+                    score = jax.grad(lambda th: surrogate(th, m, k, st, cell, params_all)[1])(
                         params_all[m]
                     )
                     return grads, score

@@ -179,8 +179,10 @@ class Simulation:
                         f" pools; {mv.action}/{mv.policy} needs the "
                         f"sequential kernel (parallel=false)"
                     )
-            if any(a.name == "PolicyGradientEstimator" for a in algos):
-                raise ValueError("parallel_moves is incompatible with PGMC")
+            # PGMC composes with this backend: the estimator draws fresh
+            # proposals on mc.system via the dense ΔE path (engine/pgmc.py),
+            # so learnable Gaussian σ works here; EnergyBias swaps stay
+            # sequential-only (rejected by the pool validation above).
             if not self.shared_box:
                 raise ValueError(
                     "parallel_moves requires all chains to share one box "
@@ -214,19 +216,63 @@ class Simulation:
             cb_kwargs = dict(
                 inner=int(chains.list_parameters.get("inner", 8)),
                 pool=self.pool,
-                max_bonds=max_bonds,
             )
-            # one jitted block per distinct sweeps-per-rebin size; the argsort
-            # rebin is amortised over `rebin_every` sweeps within a block
+            # spatial domain decomposition (parallel/spatial.py): shard ONE
+            # system's cell grid over `spatial_devices` devices with
+            # ppermute halo exchange — the N axis past one chip's memory
+            self.spatial_devices = int(m.extra.get("spatial_devices", 0))
+            spatial_mesh = None
+            if self.spatial_devices > 1:
+                from jax.sharding import Mesh as _Mesh
+
+                from ..parallel import spatial as SPK
+
+                if chains.n_chains != 1:
+                    raise ValueError(
+                        "spatial_devices shards ONE system's grid; use "
+                        "nsim = 1 (the chains axis is the scale-out "
+                        "dimension for replicas)"
+                    )
+                if molecular:
+                    raise ValueError(
+                        "spatial_devices supports atomic systems only"
+                    )
+                devs = jax.devices()
+                if len(devs) < self.spatial_devices:
+                    raise ValueError(
+                        f"spatial_devices = {self.spatial_devices} but only "
+                        f"{len(devs)} devices are visible"
+                    )
+                if SPK.spatial_slab_width(cb_spec, self.spatial_devices) is None:
+                    raise ValueError(
+                        f"grid ncells[0] = {cb_spec.ncells[0]} cannot shard "
+                        f"into even slabs over {self.spatial_devices} "
+                        "devices (needs even slabs of >= 2 cell columns)"
+                    )
+                spatial_mesh = _Mesh(
+                    np.asarray(devs[: self.spatial_devices]), ("space",)
+                )
+            else:
+                cb_kwargs["max_bonds"] = max_bonds
+
+            # one jitted block per distinct sweeps-per-rebin size; the
+            # rebin (sort) is amortised over `rebin_every` sweeps per block
             hs_blocks: Dict[int, Callable] = {}
 
             def hs_block(sweeps: int):
                 f = hs_blocks.get(sweeps)
                 if f is None:
-                    f = CBK.build_hyper_sweep_fn(
-                        cb_spec, chains.table, n, self.sweepstep,
-                        sweeps=sweeps, **cb_kwargs,
-                    )
+                    if spatial_mesh is not None:
+                        f = SPK.build_spatial_hyper_sweep_fn(
+                            cb_spec, chains.table, n, spatial_mesh,
+                            axis="space", sweepstep=self.sweepstep,
+                            sweeps=sweeps, **cb_kwargs,
+                        )
+                    else:
+                        f = CBK.build_hyper_sweep_fn(
+                            cb_spec, chains.table, n, self.sweepstep,
+                            sweeps=sweeps, **cb_kwargs,
+                        )
                     hs_blocks[sweeps] = f
                 return f
 
@@ -247,7 +293,17 @@ class Simulation:
                             mc = rem_block(mc, params)
                         return mc
 
-                    f = jax.jit(jax.vmap(chunk, in_axes=(0, None)))
+                    if spatial_mesh is not None:
+                        # the sharded kernel is written for ONE (unbatched)
+                        # system; peel/restore the chains axis of length 1
+                        def batched(mc, params):
+                            one = jax.tree.map(lambda x: x[0], mc)
+                            out = chunk(one, params)
+                            return jax.tree.map(lambda x: x[None], out)
+
+                        f = jax.jit(batched)
+                    else:
+                        f = jax.jit(jax.vmap(chunk, in_axes=(0, None)))
                     self._chunk_cache[n_sweeps] = f
                 return f(mc, params)
 
@@ -493,11 +549,18 @@ class Simulation:
             raise RuntimeError(
                 "cell-list bucket overflow: increase list_parameters.cap"
             )
-        ovf = getattr(self.mc, "overflow", None)
-        if ovf is not None and bool(np.any(np.asarray(ovf))):
-            raise RuntimeError(
-                "checkerboard bucket overflow: increase list_parameters.cap"
-            )
+        # Checkerboard bucket overflow is NOT an error: an overflowing rebin
+        # block is skipped (identity kernel, unbiased — moves/checkerboard.py
+        # skip-on-overflow) and counted in `skipped`; attempts are not booked
+        # for skipped blocks so all rates stay honest. Raise only if the
+        # sampler is completely stuck (every block skipped, nothing booked).
+        skipped = getattr(self.mc, "skipped", None)
+        if skipped is not None and bool(np.any(np.asarray(skipped) > 0)):
+            if int(np.sum(np.asarray(self.mc.attempted))) == 0:
+                raise RuntimeError(
+                    "checkerboard: every rebin block overflowed and was "
+                    "skipped — increase list_parameters.cap"
+                )
 
     def write_summary(self):
         """Human-readable simulation summary in the output path (the

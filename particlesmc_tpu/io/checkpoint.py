@@ -36,6 +36,8 @@ def save_checkpoint(path: str, mc, pool_params, step: int, extra: Optional[dict]
         "accepted": np.asarray(mc.accepted),
         "step": np.asarray(step, np.int64),
     }
+    if getattr(mc, "skipped", None) is not None:  # checkerboard backend
+        arrays["skipped"] = np.asarray(mc.skipped)
     if st.molecule is not None:
         arrays["molecule"] = np.asarray(st.molecule)
         arrays["bonds"] = np.asarray(st.bonds)
@@ -137,6 +139,11 @@ def load_checkpoint_checkerboard(path: str, spec, dtype=None):
         attempted=jnp.asarray(z["attempted"], cdt),
         accepted=jnp.asarray(z["accepted"], cdt),
         overflow=ovf,
+        skipped=(
+            jnp.asarray(z["skipped"], cdt)
+            if "skipped" in z
+            else jnp.zeros(np.shape(z["attempted"])[:-1], cdt)
+        ),
     )
     pool_params = tuple(
         {k: jnp.asarray(z[f"pool_{m}_{k}"]) for k in names}

@@ -132,7 +132,8 @@ class CBState:
     slot: jax.Array  # [n] i32 flat payload slot of each particle
     attempted: jax.Array  # [n_moves] per-move attempt counters
     accepted: jax.Array  # [n_moves]
-    overflow: jax.Array  # sticky bool
+    overflow: jax.Array  # sticky bool: some block was SKIPPED (see `skipped`)
+    skipped: jax.Array  # count of skipped rebin blocks (overflowing shifts)
 
 
 # ---------------------------------------------------------------------------
@@ -189,13 +190,16 @@ def _mol_columns(system: SystemState):
 
 
 def rebin(system: SystemState, spec: CBSpec, shift):
-    """Gather-form binning: [NP, total, cap] planes — d shifted position
+    """Sort-carried binning: [NP, total, cap] planes — d shifted position
     planes + species (+ id, B bond-partner ids, mol start, mol length for
     molecular systems, see _mol_columns).
 
-    Built entirely from sorts + gathers (one [n] permutation scatter for the
-    inverse map) — 2D scatters into the [total, cap] slot matrix serialise
-    badly on TPU, gathers don't (measured ~3x end-to-end)."""
+    One stable multi-operand `lax.sort` carries every payload column with
+    the cell key, so the padded planes are then built by a MONOTONE-index
+    gather from the sorted arrays. The previous form gathered the unsorted
+    columns through the argsort permutation (random indices) — measured
+    ~600x slower on TPU v5e (random-index gathers serialise; monotone ones
+    and 1-D scatters do not)."""
     n, d = system.position.shape
     dt = system.position.dtype
     box = system.box
@@ -207,8 +211,15 @@ def rebin(system: SystemState, spec: CBSpec, shift):
     cell = cvec[..., 0]
     for k in range(1, spec.d):
         cell = cell * spec.ncells[k] + cvec[..., k]
-    order = jnp.argsort(cell, stable=True).astype(jnp.int32)
-    sorted_cell = cell[order]
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    mol_cols = _mol_columns(system)
+    comps = [xs[:, j] for j in range(d)] + [system.species.astype(dt)] + mol_cols
+    sorted_ops = jax.lax.sort(
+        tuple([cell] + comps + [iota_n]), dimension=-1, num_keys=1, is_stable=True
+    )
+    sorted_cell = sorted_ops[0]
+    sorted_comps = sorted_ops[1:-1]
+    sorted_ids = sorted_ops[-1]
     cells_iota = jnp.arange(spec.total, dtype=jnp.int32)
     first = jnp.searchsorted(sorted_cell, cells_iota, side="left").astype(jnp.int32)
     nxt = jnp.searchsorted(sorted_cell, cells_iota, side="right").astype(jnp.int32)
@@ -216,33 +227,46 @@ def rebin(system: SystemState, spec: CBSpec, shift):
     p = first[:, None] + jnp.arange(spec.cap, dtype=jnp.int32)[None, :]
     valid = p < nxt[:, None]
     pc = jnp.minimum(p, n - 1).reshape(-1)
-    idx = jnp.where(valid, jnp.take(order, pc).reshape(spec.total, spec.cap), -1)
-    safe = jnp.maximum(idx, 0).reshape(-1)
-    mol_cols = _mol_columns(system)
-    comps = [xs[:, j] for j in range(d)] + [system.species.astype(dt)] + mol_cols
     fills = [jnp.asarray(0.0, dt)] * d + [jnp.asarray(-1.0, dt)] * (
         1 + len(mol_cols)
     )
     planes = jnp.stack(
         [
-            jnp.where(valid, jnp.take(cj, safe).reshape(spec.total, spec.cap), f)
-            for cj, f in zip(comps, fills)
+            jnp.where(valid, jnp.take(sj, pc).reshape(spec.total, spec.cap), f)
+            for sj, f in zip(sorted_comps, fills)
         ]
     )
-    # inverse map: particle -> flat payload slot (for gather-form unbinning)
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(iota_n)
-    rank = inv - jnp.take(first, cell)
-    slot = cell * spec.cap + rank
+    idx = jnp.where(
+        valid, jnp.take(sorted_ids, pc).reshape(spec.total, spec.cap), -1
+    )
+    # particle -> flat payload slot: rank within the cell from run starts
+    # (cummax over boundaries — no random-index gather), then one 1-D
+    # scatter back to particle order
+    one = jnp.ones((1,), bool)
+    boundary = jnp.concatenate([one, sorted_cell[1:] != sorted_cell[:-1]])
+    start_pos = jax.lax.cummax(jnp.where(boundary, iota_n, 0))
+    rank_sorted = iota_n - start_pos
+    slot_sorted = sorted_cell * spec.cap + jnp.minimum(rank_sorted, spec.cap - 1)
+    slot = jnp.zeros((n,), jnp.int32).at[sorted_ids].set(slot_sorted)
     overflow = jnp.any(nxt - first > spec.cap)
     return planes, idx, slot, overflow
 
 
-def unbin_positions(planes, slot, shift, box):
-    """Gather payload positions back into a global [N, d] array. The first
-    d planes are positions regardless of any trailing molecular planes."""
+def unbin_positions(planes, idx, n: int, shift, box):
+    """Scatter payload positions back into a global [N, d] array (the
+    gather-by-slot form serialises on TPU; a 1-D scatter through `idx` does
+    not). The first d planes are positions regardless of any trailing
+    molecular planes."""
     d = box.shape[-1]
-    cols = [jnp.take(planes[j].reshape(-1), slot) + shift[j] for j in range(d)]
+    flat_idx = idx.reshape(-1)
+    tgt = jnp.where(flat_idx >= 0, flat_idx, n)  # padding rows dropped
+    cols = [
+        jnp.zeros((n,), planes.dtype)
+        .at[tgt]
+        .set(planes[j].reshape(-1), mode="drop")
+        + shift[j]
+        for j in range(d)
+    ]
     x = jnp.stack(cols, axis=-1)
     return fold_back(x, box)
 
@@ -263,6 +287,7 @@ def init_cb_state(system: SystemState, spec: CBSpec, seed, n_moves: int = 1) -> 
         attempted=jnp.zeros((n_moves,), cdt),
         accepted=jnp.zeros((n_moves,), cdt),
         overflow=overflow,
+        skipped=jnp.zeros((), cdt),
     )
 
 
@@ -355,6 +380,125 @@ def _pair_params_static_row(table: PairTable, s_static: int, sp_nb, fields):
         return acc
 
     return _P(**{f: sel(getattr(table, f)) for f in fields})
+
+
+# ---------------------------------------------------------------------------
+# Shared atomic sub-move bodies — used by this kernel AND parallel/spatial.py
+# (one copy of the physics; the two kernels differ only in grid geometry and
+# halo orchestration)
+# ---------------------------------------------------------------------------
+
+
+def _disp_submove_atomic(
+    kp, pf, rows_c, rows_o, center_pos, center_sp, pos_o, valid_o,
+    pick, delta, bounds_fn, occupied, log_ua, temperature,
+):
+    """One atomic displacement sub-move against extracted blocks.
+
+    `pick` [A, cap] one-hot selects the mover per active cell; `delta` is the
+    sigma-scaled Gaussian step (d x [A]); `bounds_fn(x_new) -> [A] bool`
+    implements the in-cell auto-reject for the caller's geometry (local grid
+    in the checkerboard kernel, global-x cell columns in parallel/spatial.py).
+    Returns (center_pos', booked_energy_sum, accept [A])."""
+    d = len(center_pos)
+    dt = center_pos[0].dtype
+    x_a = [
+        jnp.sum(jnp.where(pick, center_pos[j], 0.0), axis=-1) for j in range(d)
+    ]
+    s_a = jnp.sum(jnp.where(pick, center_sp, 0.0), axis=-1)
+    # positions are already in the shifted frame; NO clip — a clip would
+    # silently extend edge cells past the box
+    x_new = [x_a[j] + delta[j] for j in range(d)]
+    in_cell = occupied & bounds_fn(x_new)
+    de = jnp.zeros(x_a[0].shape, dt)
+    for pos_nb, rows_nb, valid in (
+        (center_pos, rows_c, (center_sp >= 0) & ~pick),
+        (pos_o, rows_o, valid_o),
+    ):
+        p = _select_row(rows_nb, s_a[:, None], pf)
+        r2o = jnp.zeros(valid.shape, dt)
+        r2n = jnp.zeros(valid.shape, dt)
+        for j in range(d):
+            # plain differences: halos image-corrected
+            dxo = pos_nb[j] - x_a[j][:, None]
+            dxn = pos_nb[j] - x_new[j][:, None]
+            r2o = r2o + dxo * dxo
+            r2n = r2n + dxn * dxn
+        du = pair_potential(r2n, p, kp) - pair_potential(r2o, p, kp)
+        de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
+    accept = (log_ua < -de / temperature) & in_cell
+    booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
+    moved = pick & accept[:, None]
+    center_pos = [
+        jnp.where(moved, x_new[j][:, None], center_pos[j]) for j in range(d)
+    ]
+    return center_pos, jnp.sum(booked), accept
+
+
+def _swap_submove_atomic(
+    table, kp, pf, s1, s2, center_pos, center_sp, pos_o, valid_o,
+    p_o_1, p_o_2, up, up2, log_ua, temperature,
+):
+    """One atomic in-cell DiscreteSwap sub-move (see build_hyper_sweep_fn
+    docstring for the proposal-symmetry argument). Returns
+    (center_sp', booked_energy_sum, accept [A])."""
+    d = len(center_pos)
+    dt = center_pos[0].dtype
+    s1f = jnp.asarray(float(s1), dt)
+    s2f = jnp.asarray(float(s2), dt)
+    memb1 = center_sp == s1f  # [A, cap]
+    memb2 = center_sp == s2f
+    n1 = jnp.sum(memb1.astype(jnp.int32), axis=-1)  # [A]
+    n2 = jnp.sum(memb2.astype(jnp.int32), axis=-1)
+    r1 = jnp.floor(up * n1.astype(dt)).astype(jnp.int32)
+    r2s = jnp.floor(up2 * n2.astype(dt)).astype(jnp.int32)
+    rank1 = jnp.cumsum(memb1.astype(jnp.int32), axis=-1) - 1
+    rank2 = jnp.cumsum(memb2.astype(jnp.int32), axis=-1) - 1
+    pick_i = memb1 & (rank1 == r1[:, None])  # one-hot [A, cap]
+    pick_j = memb2 & (rank2 == r2s[:, None])
+    x_i = [
+        jnp.sum(jnp.where(pick_i, center_pos[j], 0.0), axis=-1) for j in range(d)
+    ]
+    x_j = [
+        jnp.sum(jnp.where(pick_j, center_pos[j], 0.0), axis=-1) for j in range(d)
+    ]
+    valid_sw = (n1 > 0) & (n2 > 0)  # else auto-reject
+
+    # params for the two STATIC mover species vs each neighbour plane; the
+    # center plane is live under swaps
+    center_sp_safe = jnp.maximum(center_sp, 0.0)
+    p_c_1 = _pair_params_static_row(table, s1, center_sp_safe, pf)
+    p_c_2 = _pair_params_static_row(table, s2, center_sp_safe, pf)
+
+    # ΔE = Δ_i (s1→s2 at x_i) + Δ_j (s2→s1 at x_j); both sums exclude i and
+    # j (the mutual term cancels by table symmetry)
+    de = jnp.zeros(x_i[0].shape, dt)
+    for pos_nb, pA, pB, valid in (
+        (center_pos, p_c_1, p_c_2, (center_sp >= 0) & ~pick_i & ~pick_j),
+        (pos_o, p_o_1, p_o_2, valid_o),
+    ):
+        r2i = jnp.zeros(valid.shape, dt)
+        r2j = jnp.zeros(valid.shape, dt)
+        for j in range(d):
+            dxi = pos_nb[j] - x_i[j][:, None]
+            dxj = pos_nb[j] - x_j[j][:, None]
+            r2i = r2i + dxi * dxi
+            r2j = r2j + dxj * dxj
+        du = (
+            pair_potential(r2i, pB, kp)
+            - pair_potential(r2i, pA, kp)
+            + pair_potential(r2j, pA, kp)
+            - pair_potential(r2j, pB, kp)
+        )
+        de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
+    accept = valid_sw & (log_ua < -de / temperature)
+    booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
+    center_sp = jnp.where(
+        pick_i & accept[:, None],
+        s2f,
+        jnp.where(pick_j & accept[:, None], s1f, center_sp),
+    )
+    return center_sp, jnp.sum(booked), accept
 
 
 # ---------------------------------------------------------------------------
@@ -792,11 +936,41 @@ def build_hyper_sweep_fn(
                 if pool[m].action == "swap"
             }
 
+            def grid_bounds(x_new):
+                """In-cell auto-reject for the local grid geometry."""
+                ok = jnp.ones(x_new[0].shape, bool)
+                for j in range(d):
+                    cj = jnp.floor(x_new[j] / box[j] * spec.ncells[j]).astype(
+                        jnp.int32
+                    )
+                    ok = ok & (cj == coords[:, j])
+                return ok
+
             for kin in range(inner):
                 m = int(col_sched[kin])
                 mv = pool[m]
-                if mv.action == "displacement":
-                    # --- pick one particle per occupied active cell ----------
+                if mv.action == "displacement" and not molecular:
+                    rows_c = (
+                        _pair_params_rows(table, jnp.maximum(center_sp, 0.0), pf)
+                        if species_live  # center species are live
+                        else rows_c_static
+                    )
+                    # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
+                    r = jnp.floor(rnd_c["up"][kin] * occ.astype(dt)).astype(
+                        jnp.int32
+                    )
+                    pick = slot_iota[None, :] == r[:, None]  # [A, cap]
+                    delta = [sigmas[m] * rnd_c["dl"][kin, j] for j in range(d)]
+                    center_pos, booked_sum, accept = _disp_submove_atomic(
+                        kp, pf, rows_c, rows_o, center_pos, center_sp,
+                        pos_o, valid_o, pick, delta, grid_bounds, occupied,
+                        jnp.log(rnd_c["ua"][kin]), temperature,
+                    )
+                    energy = energy + booked_sum
+                    att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
+                    acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
+                elif mv.action == "displacement":
+                    # --- molecular displacement: bond exclusions + FENE ΔE ---
                     # floor(u * occ) is uniform over [0, occ) for u ~ U[0, 1)
                     r = jnp.floor(rnd_c["up"][kin] * occ.astype(dt)).astype(
                         jnp.int32
@@ -814,12 +988,7 @@ def build_hyper_sweep_fn(
                     x_new = [
                         x_a[j] + sigmas[m] * rnd_c["dl"][kin, j] for j in range(d)
                     ]
-                    in_cell = occupied
-                    for j in range(d):
-                        cj = jnp.floor(
-                            x_new[j] / box[j] * spec.ncells[j]
-                        ).astype(jnp.int32)
-                        in_cell = in_cell & (cj == coords[:, j])
+                    in_cell = occupied & grid_bounds(x_new)
 
                     # --- ΔE: own (live) block + static neighbour blocks ------
                     rows_c = (
@@ -887,76 +1056,14 @@ def build_hyper_sweep_fn(
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
                 elif mv.action == "swap":
                     # --- in-cell species swap (see build docstring) ----------
-                    s1, s2 = mv.species
-                    s1f = jnp.asarray(float(s1), dt)
-                    s2f = jnp.asarray(float(s2), dt)
-                    memb1 = center_sp == s1f  # [A, cap]
-                    memb2 = center_sp == s2f
-                    n1 = jnp.sum(memb1.astype(jnp.int32), axis=-1)  # [A]
-                    n2 = jnp.sum(memb2.astype(jnp.int32), axis=-1)
-                    r1 = jnp.floor(rnd_c["up"][kin] * n1.astype(dt)).astype(
-                        jnp.int32
-                    )
-                    r2s = jnp.floor(rnd_c["up2"][kin] * n2.astype(dt)).astype(
-                        jnp.int32
-                    )
-                    rank1 = jnp.cumsum(memb1.astype(jnp.int32), axis=-1) - 1
-                    rank2 = jnp.cumsum(memb2.astype(jnp.int32), axis=-1) - 1
-                    pick_i = memb1 & (rank1 == r1[:, None])  # one-hot [A, cap]
-                    pick_j = memb2 & (rank2 == r2s[:, None])
-                    x_i = [
-                        jnp.sum(jnp.where(pick_i, center_pos[j], 0.0), axis=-1)
-                        for j in range(d)
-                    ]
-                    x_j = [
-                        jnp.sum(jnp.where(pick_j, center_pos[j], 0.0), axis=-1)
-                        for j in range(d)
-                    ]
-                    valid_sw = (n1 > 0) & (n2 > 0)  # else auto-reject
-
-                    # params for the two STATIC mover species vs each
-                    # neighbour plane; center plane is live under swaps
-                    center_sp_safe = jnp.maximum(center_sp, 0.0)
-                    p_c_1 = _pair_params_static_row(table, s1, center_sp_safe, pf)
-                    p_c_2 = _pair_params_static_row(table, s2, center_sp_safe, pf)
                     p_o_1, p_o_2 = swap_o_rows[m]
-
-                    # ΔE = Δ_i (s1→s2 at x_i) + Δ_j (s2→s1 at x_j); both sums
-                    # exclude i and j (the mutual term cancels by symmetry)
-                    de = jnp.zeros((A,), dt)
-                    for pos_nb, pA, pB, valid in (
-                        (center_pos, p_c_1, p_c_2, (center_sp >= 0) & ~pick_i & ~pick_j),
-                        (pos_o, p_o_1, p_o_2, valid_o),
-                    ):
-                        r2i = jnp.zeros(valid.shape, dt)
-                        r2j = jnp.zeros(valid.shape, dt)
-                        for j in range(d):
-                            dxi = pos_nb[j] - x_i[j][:, None]
-                            dxj = pos_nb[j] - x_j[j][:, None]
-                            r2i = r2i + dxi * dxi
-                            r2j = r2j + dxj * dxj
-                        du = (
-                            pair_potential(r2i, pB, kp)
-                            - pair_potential(r2i, pA, kp)
-                            + pair_potential(r2j, pA, kp)
-                            - pair_potential(r2j, pB, kp)
-                        )
-                        de = de + jnp.sum(
-                            jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
-                        )
-
-                    accept = valid_sw & (
-                        jnp.log(rnd_c["ua"][kin]) < -de / temperature
+                    center_sp, booked_sum, accept = _swap_submove_atomic(
+                        table, kp, pf, mv.species[0], mv.species[1],
+                        center_pos, center_sp, pos_o, valid_o, p_o_1, p_o_2,
+                        rnd_c["up"][kin], rnd_c["up2"][kin],
+                        jnp.log(rnd_c["ua"][kin]), temperature,
                     )
-                    booked = jnp.where(
-                        accept & jnp.isfinite(de), de, jnp.zeros_like(de)
-                    )
-                    swapped_i = pick_i & accept[:, None]
-                    swapped_j = pick_j & accept[:, None]
-                    center_sp = jnp.where(
-                        swapped_i, s2f, jnp.where(swapped_j, s1f, center_sp)
-                    )
-                    energy = energy + jnp.sum(booked)
+                    energy = energy + booked_sum
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
                 else:
@@ -1087,25 +1194,46 @@ def build_hyper_sweep_fn(
 
         interior = (slice(None),) + tuple(slice(1, -1) for _ in range(d))
         planes = padded[interior].reshape(NP, spec.total, cap)
-        position = unbin_positions(planes, slot, shift, box)
-        species = (
-            jnp.take(planes[d].reshape(-1), slot).astype(jnp.int32)
-            if species_live
-            else cb.system.species
-        )
+        position = unbin_positions(planes, idx, n, shift, box)
+        if species_live:
+            flat_idx = idx.reshape(-1)
+            tgt = jnp.where(flat_idx >= 0, flat_idx, n)
+            species = (
+                jnp.zeros((n,), dt)
+                .at[tgt]
+                .set(planes[d].reshape(-1), mode="drop")
+                .astype(jnp.int32)
+            )
+        else:
+            species = cb.system.species
+        # SKIP-ON-OVERFLOW: if this call's shift overflowed a bucket, the
+        # whole block acts as the IDENTITY kernel — no moves are applied and
+        # the next call redraws the shift. This is unbiased: in-block moves
+        # never change cell occupancy, so a shift's validity is invariant
+        # under the block's own moves, making "apply-if-valid else identity"
+        # exactly pi-reversible per shift (uniform, state-independent shift
+        # mixture). The cost is throughput (counted in `skipped`; attempts
+        # are not booked for skipped blocks), never correctness — which lets
+        # the bucket capacity be sized for throughput instead of for the
+        # worst-case occupancy tail.
+        ok = ~ovf
         system = cb.system.replace(
-            position=position, species=species, energy=energy
+            position=jnp.where(ok, position, cb.system.position),
+            species=jnp.where(ok, species, cb.system.species),
+            energy=jnp.where(ok, energy, cb.system.energy),
         )
+        zero_att = jnp.zeros_like(att)
         return cb.replace(
             system=system,
             key=key,
-            shift=shift,
-            planes=planes,
-            idx=idx,
-            slot=slot,
-            attempted=cb.attempted + att,
-            accepted=cb.accepted + acc,
+            shift=jnp.where(ok, shift, cb.shift),
+            planes=jnp.where(ok, planes, cb.planes),
+            idx=jnp.where(ok, idx, cb.idx),
+            slot=jnp.where(ok, slot, cb.slot),
+            attempted=cb.attempted + jnp.where(ok, att, zero_att),
+            accepted=cb.accepted + jnp.where(ok, acc, zero_att),
             overflow=cb.overflow | ovf,
+            skipped=cb.skipped + ovf.astype(cb.skipped.dtype),
         )
 
     if legacy:

@@ -21,32 +21,45 @@ Decomposition invariants (why this is exact, not approximate):
   the periodic seam, devices 0 ↔ P−1), so in-substep distances stay plain
   coordinate differences exactly as in moves/checkerboard.py.
 
-The per-substep move math mirrors the displacement branch of
-checkerboard.build_hyper_sweep_fn (atomic Displacement/SimpleGaussian pools —
-the hot production move); swap/flip pools stay on the chains-parallel
-backend. The same global RNG stream is consumed (bulk draws sharded over the
-active-cell axis), so a sharded run reproduces the unsharded kernel's
-trajectory exactly (tests/test_spatial.py).
+The per-sub-move physics is SHARED with the chains-parallel kernel
+(checkerboard._disp_submove_atomic / _swap_submove_atomic — one copy, no
+fork); this module owns only grid geometry and halo orchestration. Pools of
+Displacement and DiscreteSwap/DoubleUniform moves are supported on atomic
+systems (the same static slot schedule as the unsharded kernel); molecular
+pools stay on the chains-parallel backend. The same global RNG stream is
+consumed (bulk draws sharded over the active-cell axis), so a sharded run
+reproduces the unsharded kernel's trajectory exactly (tests/test_spatial.py).
+
+Overflowing rebin shifts are handled exactly like the unsharded kernel:
+the block becomes the identity kernel and is counted in CBState.skipped
+(unbiased — see moves/checkerboard.py skip-on-overflow).
+
+Reference parity note: the reference has no spatial decomposition (or any
+multi-device path) at all — its N-scaling story is the O(1)-per-move
+neighbour list (reference src/neighbours.jl); this is the TPU-native
+equivalent of scaling the particle-count axis past one device's memory.
 """
 
 from __future__ import annotations
 
 import itertools
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.potentials import pair_fields_needed, pair_potential
 from ..models.tables import PairTable, kinds_present
+from ..models.potentials import pair_fields_needed
 from ..moves.checkerboard import (
     CBSpec,
     CBState,
+    _disp_submove_atomic,
     _pair_params_rows,
-    _select_row,
+    _pair_params_static_row,
+    _slot_schedule,
+    _swap_submove_atomic,
     rebin,
     unbin_positions,
 )
@@ -73,11 +86,19 @@ def build_spatial_hyper_sweep_fn(
     sweepstep: Optional[int] = None,
     inner: int = 4,
     sweeps: int = 1,
+    pool=None,
 ):
-    """Returns hyper_sweep(cb_state, sigma) with the grid sharded over
-    `mesh[axis]`. State in/out is an ordinary (global) CBState; binning and
-    position reconstruction stay global, the color-substep scan runs under
-    shard_map with ppermute halo exchange."""
+    """Returns the sharded hyper-sweep with the grid split over `mesh[axis]`.
+
+    With `pool=None` (legacy) the returned fn is `hyper_sweep(cb, sigma)`
+    (single Displacement move). With a `pool` of Move specs it is
+    `hyper_sweep(cb, pool_params)` — Displacement and DiscreteSwap/
+    DoubleUniform moves on atomic systems, same static slot schedule as
+    moves/checkerboard.py; CBState counters must then be [len(pool)].
+
+    State in/out is an ordinary (global) CBState; binning and position
+    reconstruction stay global, the color-substep scan runs under shard_map
+    with ppermute halo exchange."""
     d = spec.d
     P_dev = mesh.shape[axis]
     w = spatial_slab_width(spec, P_dev)
@@ -105,10 +126,32 @@ def build_spatial_hyper_sweep_fn(
     fwd = [(i, (i + 1) % P_dev) for i in range(P_dev)]  # send right
     bwd = [(i, (i - 1) % P_dev) for i in range(P_dev)]  # send left
 
-    def sharded_rounds(slab, energy0, rnd, sigma, box, temperature):
+    legacy = pool is None
+    if legacy:
+        from ..moves.base import displacement as _mk_disp
+
+        pool = (_mk_disp(1.0),)
+    pool = tuple(pool)
+    n_moves = len(pool)
+    for mv in pool:
+        ok = mv.action == "displacement" or (
+            mv.action == "swap" and mv.policy == "double_uniform"
+        )
+        if not ok:
+            raise ValueError(
+                f"spatial backend supports Displacement and DiscreteSwap/"
+                f"DoubleUniform pools on atomic systems; {mv.action}/"
+                f"{mv.policy} needs another backend"
+            )
+    has_swap = any(mv.action == "swap" for mv in pool)
+    species_live = has_swap
+    np_upd = d + 1 if species_live else d  # planes written back per substep
+    schedule = _slot_schedule(pool, C, inner)
+
+    def sharded_rounds(slab, energy0, rnd, sig_slot, box, temperature):
         """shard_map body: slab [NP, w, nc1.., cap] (local, no pads) +
         per-device slices of the bulk randoms; returns the updated slab and
-        psum'd booked-energy / attempt / accept tallies."""
+        psum'd booked-energy / per-move attempt / accept tallies."""
         pidx = jax.lax.axis_index(axis)
         dt = slab.dtype
         Lx = box[0]
@@ -152,6 +195,7 @@ def build_spatial_hyper_sweep_fn(
 
         def color_substep(padded, energy, att, acc, ci, rnd_c):
             c = colors[ci]
+            col_sched = schedule[ci]
 
             def sl(k, off, span):
                 return slice(c[k] + off + 1, c[k] + off + 2 * span, 2)
@@ -159,7 +203,7 @@ def build_spatial_hyper_sweep_fn(
             spans = A_dims_local
             csl = tuple(sl(k, 0, spans[k]) for k in range(d))
             center = padded[(slice(None),) + csl].reshape(NP, A_local, cap)
-            center_sp = center[d]
+            center_sp = center[d]  # LIVE if pool swaps
             center_pos = [center[j] for j in range(d)]
             others = jnp.concatenate(
                 [
@@ -174,86 +218,94 @@ def build_spatial_hyper_sweep_fn(
             pos_o = others[:d]
             sp_o = others[d]
             valid_o = sp_o >= 0
+            sp_o_safe = jnp.maximum(sp_o, 0.0)
             occ = jnp.sum((center_sp >= 0).astype(jnp.int32), axis=-1)
             occupied = occ > 0
             coords = jnp.asarray(base_coords_local + np.asarray(c), jnp.int32)
             # global x coordinate of each active cell (for in-cell checks)
             gx = coords[:, 0] + x_col_offset
 
-            rows_o = _pair_params_rows(table, jnp.maximum(sp_o, 0.0), pf)
-            rows_c = _pair_params_rows(table, jnp.maximum(center_sp, 0.0), pf)
+            slots_here = set(int(m) for m in col_sched)
+            any_disp = any(pool[m].action == "displacement" for m in slots_here)
+            rows_o = rows_c_static = None
+            if any_disp:
+                rows_o = _pair_params_rows(table, sp_o_safe, pf)
+                if not species_live:
+                    rows_c_static = _pair_params_rows(
+                        table, jnp.maximum(center_sp, 0.0), pf
+                    )
+            swap_o_rows = {
+                m: (
+                    _pair_params_static_row(table, pool[m].species[0], sp_o_safe, pf),
+                    _pair_params_static_row(table, pool[m].species[1], sp_o_safe, pf),
+                )
+                for m in slots_here
+                if pool[m].action == "swap"
+            }
+
+            def spatial_bounds(x_new):
+                """In-cell auto-reject with the x column checked GLOBALLY."""
+                cx = jnp.floor(x_new[0] / box[0] * nc_glob_x).astype(jnp.int32)
+                ok = cx == gx
+                for j in range(1, d):
+                    cj = jnp.floor(
+                        x_new[j] / box[j] * spec.ncells[j]
+                    ).astype(jnp.int32)
+                    ok = ok & (cj == coords[:, j])
+                return ok
 
             for kin in range(inner):
-                r = jnp.floor(rnd_c["up"][kin] * occ.astype(dt)).astype(jnp.int32)
-                pick = slot_iota[None, :] == r[:, None]
-                x_a = [
-                    jnp.sum(jnp.where(pick, center_pos[j], 0.0), axis=-1)
-                    for j in range(d)
-                ]
-                s_a = jnp.sum(jnp.where(pick, center_sp, 0.0), axis=-1)
-                x_new = [
-                    x_a[j] + sigma * rnd_c["dl"][kin, j] for j in range(d)
-                ]
-                in_cell = occupied
-                cx = jnp.floor(x_new[0] / box[0] * nc_glob_x).astype(jnp.int32)
-                in_cell = in_cell & (cx == gx)
-                for j in range(1, d):
-                    cj = jnp.floor(x_new[j] / box[j] * spec.ncells[j]).astype(
+                m = int(col_sched[kin])
+                mv = pool[m]
+                if mv.action == "displacement":
+                    rows_c = (
+                        _pair_params_rows(table, jnp.maximum(center_sp, 0.0), pf)
+                        if species_live
+                        else rows_c_static
+                    )
+                    r = jnp.floor(rnd_c["up"][kin] * occ.astype(dt)).astype(
                         jnp.int32
                     )
-                    in_cell = in_cell & (cj == coords[:, j])
-
-                de = jnp.zeros((A_local,), dt)
-                for pos_nb, rows_nb, valid in (
-                    (center_pos, rows_c, (center_sp >= 0) & ~pick),
-                    (pos_o, rows_o, valid_o),
-                ):
-                    p = _select_row(rows_nb, s_a[:, None], pf)
-                    r2o = jnp.zeros(valid.shape, dt)
-                    r2n = jnp.zeros(valid.shape, dt)
-                    for j in range(d):
-                        dxo = pos_nb[j] - x_a[j][:, None]
-                        dxn = pos_nb[j] - x_new[j][:, None]
-                        r2o = r2o + dxo * dxo
-                        r2n = r2n + dxn * dxn
-                    du = pair_potential(r2n, p, kp) - pair_potential(r2o, p, kp)
-                    de = de + jnp.sum(
-                        jnp.where(valid, du, jnp.zeros_like(du)), axis=-1
+                    pick = slot_iota[None, :] == r[:, None]
+                    delta = [
+                        sig_slot[ci, kin] * rnd_c["dl"][kin, j] for j in range(d)
+                    ]
+                    center_pos, booked_sum, accept = _disp_submove_atomic(
+                        kp, pf, rows_c, rows_o, center_pos, center_sp,
+                        pos_o, valid_o, pick, delta, spatial_bounds, occupied,
+                        jnp.log(rnd_c["ua"][kin]), temperature,
                     )
+                else:
+                    p_o_1, p_o_2 = swap_o_rows[m]
+                    center_sp, booked_sum, accept = _swap_submove_atomic(
+                        table, kp, pf, mv.species[0], mv.species[1],
+                        center_pos, center_sp, pos_o, valid_o, p_o_1, p_o_2,
+                        rnd_c["up"][kin], rnd_c["up2"][kin],
+                        jnp.log(rnd_c["ua"][kin]), temperature,
+                    )
+                energy = energy + booked_sum
+                att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
+                acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
 
-                accept = (jnp.log(rnd_c["ua"][kin]) < -de / temperature) & in_cell
-                booked = jnp.where(
-                    accept & jnp.isfinite(de), de, jnp.zeros_like(de)
-                )
-                moved = pick & accept[:, None]
-                center_pos = [
-                    jnp.where(moved, x_new[j][:, None], center_pos[j])
-                    for j in range(d)
-                ]
-                energy = energy + jnp.sum(booked)
-                att = att + jnp.sum(occupied.astype(att.dtype))
-                acc = acc + jnp.sum(accept.astype(acc.dtype))
-
-            new_center = jnp.stack(center_pos).reshape(
-                (d,) + tuple(A_dims_local) + (cap,)
-            )
-            padded = padded.at[(slice(0, d),) + csl].set(new_center)
+            new_center = jnp.stack(
+                center_pos + ([center_sp] if species_live else [])
+            ).reshape((np_upd,) + tuple(A_dims_local) + (cap,))
+            padded = padded.at[(slice(0, np_upd),) + csl].set(new_center)
 
             # refresh halos: dims >= 1 locally (one face each, as in the
             # unsharded kernel), dim 0 across devices via ppermute
             for k in range(1, d):
-                ax = 1 + k
                 nc_k = spec.ncells[k]
                 if c[k] == 0:
-                    src = jax.lax.index_in_dim(padded, 1, ax, keepdims=False)
-                    src = src.at[k].add(box[k])
-                    padded = jax.lax.dynamic_update_index_in_dim(
-                        padded, src, nc_k + 1, ax
-                    )
+                    src_i, dst_i = 1, nc_k + 1
+                    corr = box[k]
                 else:
-                    src = jax.lax.index_in_dim(padded, nc_k, ax, keepdims=False)
-                    src = src.at[k].add(-box[k])
-                    padded = jax.lax.dynamic_update_index_in_dim(padded, src, 0, ax)
+                    src_i, dst_i = nc_k, 0
+                    corr = -box[k]
+                pre = (slice(0, np_upd),) + (slice(None),) * k
+                src = padded[pre + (src_i,)]
+                src = src.at[k].add(corr)
+                padded = padded.at[pre + (dst_i,)].set(src)
             padded = exchange_halo_x(padded)
             return padded, energy, att, acc
 
@@ -270,7 +322,11 @@ def build_spatial_hyper_sweep_fn(
         # tallies become device-varying inside the scan body — mark the
         # initial zeros as varying over the mesh axis so carry types match
         zeros = jax.lax.pcast(
-            (jnp.zeros((), energy0.dtype), jnp.zeros((), cdt), jnp.zeros((), cdt)),
+            (
+                jnp.zeros((), energy0.dtype),
+                jnp.zeros((n_moves,), cdt),
+                jnp.zeros((n_moves,), cdt),
+            ),
             (axis,),
             to="varying",
         )
@@ -286,15 +342,18 @@ def build_spatial_hyper_sweep_fn(
         acc = jax.lax.psum(acc, axis)
         return slab_out, booked, att, acc
 
+    rnd_specs = {
+        "up": P(None, None, None, axis),
+        "dl": P(None, None, None, None, axis),
+        "ua": P(None, None, None, axis),
+    }
+    if has_swap:
+        rnd_specs["up2"] = P(None, None, None, axis)
     in_specs = (
         P(None, axis),  # slab [NP, x-sharded, rest replicated]
         P(),
-        {  # bulk randoms: active axis sharded (contiguous device blocks
-            # match the x-major global active ordering)
-            "up": P(None, None, None, axis),
-            "dl": P(None, None, None, None, axis),
-            "ua": P(None, None, None, axis),
-        },
+        rnd_specs,  # bulk randoms: active axis sharded (contiguous device
+        # blocks match the x-major global active ordering)
         P(),
         P(),
         P(),
@@ -306,7 +365,7 @@ def build_spatial_hyper_sweep_fn(
         out_specs=(P(None, axis), P(), P(), P()),
     )
 
-    def hyper_sweep(cb: CBState, sigma) -> CBState:
+    def hyper_sweep_pool(cb: CBState, pool_params) -> CBState:
         dt = cb.system.position.dtype
         box = cb.system.box
         key, k_shift, k_rand = jax.random.split(cb.key, 3)
@@ -318,7 +377,7 @@ def build_spatial_hyper_sweep_fn(
         # kernels consume the same randoms per active cell (exact-parity
         # test hook); the active axis is sharded by shard_map
         R = sweeps * rounds
-        k_pick, _k_pick2, k_delta, k_acc = jax.random.split(k_rand, 4)
+        k_pick, k_pick2, k_delta, k_acc = jax.random.split(k_rand, 4)
         rnd = dict(
             up=jax.random.uniform(
                 k_pick, (R, C, inner, A_global), dt, maxval=1.0 - 1e-7
@@ -328,26 +387,69 @@ def build_spatial_hyper_sweep_fn(
                 k_acc, (R, C, inner, A_global), dt, minval=jnp.finfo(dt).tiny
             ),
         )
+        if has_swap:
+            rnd["up2"] = jax.random.uniform(
+                k_pick2, (R, C, inner, A_global), dt, maxval=1.0 - 1e-7
+            )
+
+        sigmas = [
+            jnp.asarray(pool_params[m]["sigma"], dt)
+            if pool[m].action == "displacement"
+            else jnp.asarray(0.0, dt)
+            for m in range(n_moves)
+        ]
+        sig_slot = jnp.stack(
+            [
+                jnp.stack([sigmas[int(schedule[c_, i_])] for i_ in range(inner)])
+                for c_ in range(C)
+            ]
+        )  # [C, inner]
 
         grid_out, booked, att, acc = sharded(
-            grid0, cb.system.energy, rnd, jnp.asarray(sigma, dt), box,
+            grid0, cb.system.energy, rnd, sig_slot, box,
             cb.system.temperature,
         )
         planes = grid_out.reshape(NP, spec.total, cap)
-        position = unbin_positions(planes, slot, shift, box)
+        position = unbin_positions(planes, idx, n, shift, box)
+        if species_live:
+            flat_idx = idx.reshape(-1)
+            tgt = jnp.where(flat_idx >= 0, flat_idx, n)
+            species = (
+                jnp.zeros((n,), dt)
+                .at[tgt]
+                .set(planes[d].reshape(-1), mode="drop")
+                .astype(jnp.int32)
+            )
+        else:
+            species = cb.system.species
+
+        # skip-on-overflow: identical semantics to the unsharded kernel
+        ok = ~ovf
         system = cb.system.replace(
-            position=position, energy=cb.system.energy + booked
+            position=jnp.where(ok, position, cb.system.position),
+            species=jnp.where(ok, species, cb.system.species),
+            energy=jnp.where(ok, cb.system.energy + booked, cb.system.energy),
         )
+        zero_att = jnp.zeros_like(cb.attempted)
         return cb.replace(
             system=system,
             key=key,
-            shift=shift,
-            planes=planes,
-            idx=idx,
-            slot=slot,
-            attempted=cb.attempted + att.astype(cb.attempted.dtype),
-            accepted=cb.accepted + acc.astype(cb.accepted.dtype),
+            shift=jnp.where(ok, shift, cb.shift),
+            planes=jnp.where(ok, planes, cb.planes),
+            idx=jnp.where(ok, idx, cb.idx),
+            slot=jnp.where(ok, slot, cb.slot),
+            attempted=cb.attempted
+            + jnp.where(ok, att.astype(cb.attempted.dtype), zero_att),
+            accepted=cb.accepted
+            + jnp.where(ok, acc.astype(cb.accepted.dtype), zero_att),
             overflow=cb.overflow | ovf,
+            skipped=cb.skipped + ovf.astype(cb.skipped.dtype),
         )
 
-    return hyper_sweep
+    if legacy:
+
+        def hyper_sweep(cb: CBState, sigma) -> CBState:
+            return hyper_sweep_pool(cb, ({"sigma": sigma},))
+
+        return hyper_sweep
+    return hyper_sweep_pool

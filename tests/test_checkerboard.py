@@ -220,3 +220,55 @@ def test_statistical_agreement_with_sequential_kernel():
     b_seq = np.mean(np.reshape(es_seq, (8, -1)), axis=1)
     s = np.sqrt(np.var(b_cb, ddof=1) / 8 + np.var(b_seq, ddof=1) / 8)
     assert abs(m_cb - m_seq) < 6 * max(s, 1e-3), (m_cb, m_seq, s)
+
+
+def test_skip_on_overflow_identity_and_ledger():
+    """Overflowing rebin blocks act as the identity kernel (unbiased
+    skip-on-overflow): with an absurdly small cap every call is a no-op;
+    with a tight-but-workable cap, skipped calls book nothing and the
+    energy ledger still matches a dense recomputation exactly."""
+    table = T.KobAndersen(jnp.float64)
+    n, d, density = 1300, 3, 1.2
+    st = _lattice_system(n, d, density, temperature=1.0, table=table)
+    pool = (MB.displacement(0.08),)
+    params = MB.init_pool_params(pool)
+
+    # cap=4 << mean occupancy: every block overflows -> pure identity
+    spec_tiny = CB.CBSpec(
+        ncells=CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n).ncells,
+        cap=4,
+    )
+    cb = CB.init_cb_state(st, spec_tiny, seed=5, n_moves=1)
+    fn = jax.jit(CB.build_hyper_sweep_fn(spec_tiny, table, n, pool=pool))
+    for _ in range(3):
+        cb = fn(cb, params)
+    np.testing.assert_array_equal(
+        np.asarray(cb.system.position), np.asarray(st.position)
+    )
+    assert float(cb.system.energy) == float(st.energy)
+    assert int(cb.skipped) == 3
+    assert int(np.sum(np.asarray(cb.attempted))) == 0
+
+    # skipped and working blocks interleaved: run normally, force a skipped
+    # block in the middle (tiny cap), resume normally — the ledger must
+    # still match a dense recomputation exactly
+    spec0 = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+    fn0 = jax.jit(CB.build_hyper_sweep_fn(spec0, table, n, pool=pool))
+    fn_tiny = jax.jit(CB.build_hyper_sweep_fn(spec_tiny, table, n, pool=pool))
+    cb = CB.init_cb_state(st, spec0, seed=6, n_moves=1)
+    for _ in range(2):
+        cb = fn0(cb, params)
+    pos_mid = np.asarray(cb.system.position)
+    cb_t = CB.init_cb_state(cb.system, spec_tiny, seed=7, n_moves=1)
+    cb_t = fn_tiny(cb_t, params)  # overflows -> identity
+    assert int(cb_t.skipped) == 1
+    np.testing.assert_array_equal(np.asarray(cb_t.system.position), pos_mid)
+    cb = CB.init_cb_state(cb_t.system, spec0, seed=8, n_moves=1)
+    cb = fn0(cb, params)
+    assert int(cb.skipped) == 0 and int(np.sum(np.asarray(cb.attempted))) > 0
+    e_ref = float(
+        E.total_energy_dense(
+            cb.system.position, cb.system.species, cb.system.box, table
+        )
+    )
+    np.testing.assert_allclose(float(cb.system.energy), e_ref, rtol=1e-9, atol=1e-7)

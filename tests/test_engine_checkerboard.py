@@ -131,3 +131,55 @@ def test_parallel_moves_rejects_unsupported():
             [{"algorithm": "Metropolis", "pool": pool, "parallel_moves": True}],
             5,
         )
+
+
+def test_spatial_devices_engine_matches_unsharded(tmp_path):
+    """TOML-level feature `[simulation] spatial_devices = P`: the engine run
+    with the grid sharded over 4 devices reproduces the unsharded engine run
+    exactly (same seed, same RNG layout — parallel/spatial.py)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual device mesh")
+    table = T.KobAndersen(jnp.float64)
+    rng = np.random.default_rng(7)
+    d = 2
+    rcut = table.max_cutoff
+    box = np.array([8 * rcut * 1.01, 4 * rcut * 1.01])
+    density = 0.6
+    n = int(density * box[0] * box[1])
+    nx = int(np.ceil(np.sqrt(n * box[0] / box[1])))
+    ny = int(np.ceil(n / nx))
+    xs, ys = np.meshgrid(
+        (np.arange(nx) + 0.5) * box[0] / nx,
+        (np.arange(ny) + 0.5) * box[1] / ny,
+        indexing="ij",
+    )
+    pos = np.stack([xs.reshape(-1), ys.reshape(-1)], -1)[:n]
+    pos += rng.uniform(-0.05, 0.05, pos.shape)
+    species = (rng.random(n) < 0.3).astype(np.int64) + 1
+    st = make_system(pos, species, density, 1.0, box=box, dtype=jnp.float64)
+    st = E.initialize_energy(st, table, check=True)
+    batched = jax.tree.map(lambda x: x[None], st)
+    chains = Chains(states=batched, table=table, list_type="dense", n_chains=1)
+
+    pool = (MB.displacement(0.1, probability=0.8), MB.discrete_swap(0, 1, 0.2))
+    steps = 6
+
+    def run(path, spatial):
+        sim = Simulation(
+            chains,
+            [
+                {"algorithm": "Metropolis", "pool": pool, "seed": 5,
+                 "parallel_moves": True, "spatial_devices": spatial},
+                {"algorithm": "StoreCallbacks", "callbacks": ("energy",),
+                 "scheduler": build_schedule(steps, 0, 1)},
+            ],
+            steps,
+            path=str(path),
+            verbose=False,
+        )
+        sim.run()
+        return np.loadtxt(path / "chains" / "1" / "energy.dat")
+
+    e_ref = run(tmp_path / "ref", 0)
+    e_sp = run(tmp_path / "sp", 4)
+    np.testing.assert_allclose(e_sp, e_ref, rtol=1e-12)

@@ -225,3 +225,73 @@ def test_reward_definitions():
     assert float(r(prop, St())) == pytest.approx(0.25)  # |δ|²
     mv2 = MB.discrete_swap(0, 1, 0.5)
     assert float(move_reward(mv2)(prop, St())) == 1.0
+
+
+def _ka2d_chains_large(m=2, n_side=16, seed=9):
+    """Same recipe as _ka2d_chains but big enough for a checkerboard grid
+    (>= 4 cells per dim at the JBB cutoff)."""
+    rng = np.random.default_rng(seed)
+    n = n_side * n_side
+    d = 2
+    density = 1.1920748468939728
+    temperature = 0.5
+    L = (n / density) ** (1 / d)
+    a = L / n_side
+    grid = np.stack(
+        np.meshgrid(*[np.arange(n_side) * a + a / 2] * d, indexing="ij"), -1
+    ).reshape(-1, d)
+    table = T.JBB()
+    states = []
+    for _ in range(m):
+        pos = grid + rng.uniform(-0.05 * a, 0.05 * a, (n, d))
+        sp = np.concatenate(
+            [np.full(n - 2 * (n // 4), 1), np.full(n // 4, 2), np.full(n // 4, 3)]
+        )
+        rng.shuffle(sp)
+        st = make_system(pos, sp, density, temperature, dtype=jnp.float64)
+        st = initialize_energy(st, table, check=True)
+        states.append(st)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    return Chains(states=stacked, table=table, list_type="dense", n_chains=m)
+
+
+def test_pgmc_learns_sigma_on_checkerboard_backend(tmp_path):
+    """PGMC on the parallel (checkerboard) backend: the estimator runs on
+    mc.system via the dense ΔE path and the learned Gaussian σ feeds the
+    hyper-sweep kernel (VERDICT round-2 item 5). The reference's flagship
+    PGMC scenario is test/pgmc_ka2d.jl; the checkerboard backend has no
+    reference counterpart."""
+    chains = _ka2d_chains_large()
+    pool = (MB.displacement(0.05),)
+    steps = 6
+    sched = build_schedule(steps, 0, 2)
+    algorithms = [
+        dict(
+            algorithm="Metropolis", pool=pool, seed=7,
+            sweepstep=chains.n_particles, parallel_moves=True,
+        ),
+        dict(
+            algorithm="PolicyGradientEstimator",
+            dependencies=("Metropolis",),
+            optimisers=(VPG(1e-3),),
+            q_batch_size=4,
+            q_every=2,
+        ),
+        dict(
+            algorithm="PolicyGradientUpdate",
+            dependencies=("PolicyGradientEstimator",),
+            scheduler=build_schedule(steps, 0, 2),
+        ),
+        dict(algorithm="StoreParameters", dependencies=("Metropolis",), scheduler=sched),
+    ]
+    sim = Simulation(chains, algorithms, steps, path=str(tmp_path))
+    assert sim.parallel_moves  # really on the checkerboard backend
+    sim.run()
+
+    sigma = float(sim.pool_params[0]["sigma"])
+    assert np.isfinite(sigma) and sigma > 0
+    assert sigma != pytest.approx(0.05)  # VPG moved the displacement width
+    # moves were actually attempted/accepted through the hyper-sweep
+    assert int(np.sum(np.asarray(sim.mc.attempted))) > 0
+    p1 = np.loadtxt(tmp_path / "moves" / "1" / "parameters.dat")
+    assert p1.shape[0] == len(sched)

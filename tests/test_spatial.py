@@ -105,3 +105,53 @@ def test_slab_width_validation():
     spec2 = CB.CBSpec(ncells=(12, 4), cap=8)
     assert SP.spatial_slab_width(spec2, 2) == 6
     assert SP.spatial_slab_width(spec2, 4) is None  # odd slabs
+
+
+def test_spatial_pool_disp_swap_matches_unsharded_exactly():
+    """Pool mode (disp + DiscreteSwap): the sharded kernel consumes the same
+    RNG layout as the unsharded pool kernel, so trajectories, species
+    assignments, and per-move counters must agree exactly."""
+    from particlesmc_tpu.moves import base as MB
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs virtual device mesh")
+    table = T.KobAndersen(jnp.float64)
+    st = _wide_system(table, seed=3)
+    # hot enough that 1<->2 KA swaps actually get accepted
+    st = st.replace(temperature=jnp.asarray(5.0, jnp.float64))
+    n = st.n_particles
+    spec = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+    mesh = Mesh(np.array(devices[:4]), ("space",))
+
+    pool = (MB.displacement(0.1, probability=0.8), MB.discrete_swap(0, 1, 0.2))
+    params = MB.init_pool_params(pool)
+    cb0 = CB.init_cb_state(st, spec, seed=11, n_moves=2)
+    sweep_ref = jax.jit(
+        CB.build_hyper_sweep_fn(spec, table, n, inner=4, pool=pool)
+    )
+    sweep_sp = jax.jit(
+        SP.build_spatial_hyper_sweep_fn(
+            spec, table, n, mesh, axis="space", inner=4, pool=pool
+        )
+    )
+    a, b = cb0, cb0
+    for _ in range(3):
+        a = sweep_ref(a, params)
+        b = sweep_sp(b, params)
+
+    assert not bool(b.overflow)
+    np.testing.assert_array_equal(np.asarray(a.attempted), np.asarray(b.attempted))
+    np.testing.assert_array_equal(np.asarray(a.accepted), np.asarray(b.accepted))
+    np.testing.assert_array_equal(
+        np.asarray(a.system.species), np.asarray(b.system.species)
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.system.position), np.asarray(a.system.position), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(b.system.energy), float(a.system.energy), rtol=1e-12
+    )
+    # both moves actually fired and some swaps were accepted
+    assert int(np.asarray(a.accepted)[0]) > 0
+    assert int(np.asarray(a.accepted)[1]) > 0
