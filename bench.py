@@ -29,6 +29,14 @@ A mixing-honest metric rides along: `msd_per_s` is the mean-square
 displacement per particle per wall-second over the timed window (min-image;
 valid while per-window drift < box/2) — checkerboard cell-exit auto-rejects
 cannot inflate it, so it tracks actual configuration-space mixing.
+`vs_baseline_msd` anchors it: the reference's per-chain MSD gain per sweep
+is at most acc * E|delta|^2 = acc * 3 sigma^2 (each particle attempts one
+Gaussian move per sweep; ignoring reverse-move suppression makes this an
+UPPER bound, i.e. conservative against us), so a 64-core node mixes at
+<= cores * 200 sweeps/s * 0.55 * 3 * 0.05^2 in sigma^2/s aggregated over
+chains. Ours aggregates the measured per-chain msd_per_s over the chain
+batch. Both sides count every chain once, so the ratio compares total
+configuration-space mixing per wall-second per node vs per chip.
 
 Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_MODE (cb|seq),
 BENCH_SIGMA, BENCH_SWAP (swap-move fraction, 0 disables), BENCH_REBIN,
@@ -61,6 +69,10 @@ JULIA_CORE_SWEEPS_PER_S = 200.0  # 1 chain/core at N=10k (see module docstring)
 NODE_CORES = int(os.environ.get("BASELINE_NODE_CORES", 64))
 JULIA_NODE_SWEEPS_PER_S = JULIA_CORE_SWEEPS_PER_S * NODE_CORES
 JULIA_DISP_ACCEPTANCE = 0.55  # reference lj-mixture displacement acceptance
+JULIA_SIGMA = 0.05  # reference lj-mixture displacement width (their script)
+# analytic upper bound on the reference's per-chain per-particle MSD per
+# sweep (see module docstring); x3 for the 3 Gaussian components
+JULIA_MSD_PER_SWEEP = JULIA_DISP_ACCEPTANCE * 3 * JULIA_SIGMA**2
 
 
 def _config(dtype):
@@ -298,6 +310,9 @@ def main():
     msd = float(np.mean(np.sum(dx * dx, axis=-1)))
     msd_per_s = msd / elapsed
     baseline_accepted_per_s = JULIA_NODE_SWEEPS_PER_S * N * JULIA_DISP_ACCEPTANCE
+    # aggregate mixing: chip total (chains x measured per-chain rate) vs the
+    # node-aggregate analytic upper bound (see module docstring)
+    baseline_msd_per_s = JULIA_NODE_SWEEPS_PER_S * JULIA_MSD_PER_SWEEP
     print(
         json.dumps(
             {
@@ -313,6 +328,9 @@ def main():
                 ),
                 "acceptance": round(acc_rate, 4),
                 "msd_per_s": round(msd_per_s, 6),
+                "vs_baseline_msd": round(
+                    CHAINS * msd_per_s / baseline_msd_per_s, 3
+                ),
                 "sigma": SIGMA,
                 "p_swap": P_SWAP,
                 "overflow": overflow,

@@ -183,6 +183,17 @@ def main():
     ap.add_argument("--nsim", type=int, default=8, help="chains per state point")
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
     ap.add_argument(
+        "--rcut",
+        type=float,
+        default=4.0,
+        help="pair cutoff in sigma_1 (the reference's script uses 4.0). "
+        "Non-default values are a PROTOCOL PROBE — the homogeneous tail "
+        "correction assumes g(r)=1 beyond rcut, which fails near the "
+        "critical point (T=1.51, rho~0.3), so u depends on rcut there even "
+        "after correction; results then go to the workdir, never the "
+        "committed CSV",
+    )
+    ap.add_argument(
         "--only",
         action="append",
         default=None,
@@ -237,7 +248,7 @@ def main():
         n1 = args.n - n2
         cfg = os.path.join(wd, "config.exyz")
         write_config(n1, n2, L, cfg, rng)
-        rc = 4.0
+        rc = args.rcut
         sigma = sigma_for(rho)
         steps = steps_for(rho, args.steps)
         params = write_params(wd, cfg, T, rho, rc, steps, sigma, args.nsim, args.n)
@@ -280,7 +291,11 @@ def main():
             flush=True,
         )
 
-    out = os.path.join(HERE, "calculated-energies.csv")
+    out = (
+        os.path.join(HERE, "calculated-energies.csv")
+        if args.rcut == 4.0
+        else os.path.join(args.workdir, "calculated-energies.csv")
+    )
     if only is not None and os.path.exists(out):
         # --only re-runs MERGE into the committed artifact: keep every other
         # state point's row, replace just the re-run ones (round 2 lost the
@@ -332,7 +347,7 @@ def main():
         plt.xlabel("published u/N")
         plt.ylabel("particlesmc-tpu u/N")
         plt.tight_layout()
-        plt.savefig(os.path.join(HERE, "correlation-plot.png"), dpi=150)
+        plt.savefig(os.path.join(os.path.dirname(out), "correlation-plot.png"), dpi=150)
         print("wrote correlation-plot.png")
     except Exception as exc:  # matplotlib genuinely optional
         print(f"(no plot: {exc})")

@@ -209,7 +209,14 @@ def main():
                     help="chains per stage (F_s averages over them)")
     ap.add_argument("--temperatures", type=float, nargs="+", default=[2.0, 1.4])
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="directory for fskt.csv + fskt.png (default: workdir; pass the "
+        "example dir itself to refresh the committed artifact)",
+    )
     args = ap.parse_args()
+    out_dir = args.out or args.workdir
     wd = args.workdir
 
     import jax
@@ -268,7 +275,8 @@ def main():
     box = np.full(3, L)
     import csv
 
-    out_csv = os.path.join(wd, "fskt.csv")
+    out_csv = os.path.join(out_dir, "fskt.csv")
+    curves = {}
     with open(out_csv, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["T", "step", "fskt"])
@@ -278,10 +286,33 @@ def main():
                 steps, F = fskt(traj, 7.4, box)
                 Fs.append(F)
             F = np.mean(Fs, axis=0)  # average over independent chains
+            curves[T] = (steps, F)
             for s, v in zip(steps, F):
                 w.writerow([T, s, v])
             print(f"[stage 4] T={T}: F_s(k,t) from {F[0]:.3f} to {F[-1]:.3f}", flush=True)
     print(f"wrote {out_csv}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(6, 4))
+        for T in sorted(curves, reverse=True):
+            steps, F = curves[T]
+            m = steps > 0
+            plt.semilogx(steps[m], F[m], "o-", ms=3, label=f"T={T}")
+        plt.xlabel("t (MC sweeps)")
+        plt.ylabel(r"$F_s(k{=}7.4,\,t)$")
+        plt.ylim(-0.05, 1.02)
+        plt.legend(fontsize=8)
+        plt.tight_layout()
+        out_png = os.path.join(out_dir, "fskt.png")
+        plt.savefig(out_png, dpi=150)
+        print(f"wrote {out_png}")
+    except Exception as exc:  # matplotlib genuinely optional
+        print(f"(no plot: {exc})")
 
 
 if __name__ == "__main__":

@@ -588,7 +588,8 @@ def build_hyper_sweep_fn(
     species auto-reject. This differs from the reference's GLOBAL uniform
     pair selection (src/moves.jl:226-241) as a proposal distribution but
     targets the same ensemble; parity is established statistically
-    (tests/test_checkerboard.py). EnergyBias swaps and MoleculeFlip remain
+    (tests/test_checkerboard.py). MoleculeFlip runs here too on molecular
+    systems (cell-local partner pick, see below); EnergyBias swaps remain
     sequential-kernel-only.
 
     `inner` runs that many SEQUENTIAL Metropolis sub-moves per active cell
