@@ -333,6 +333,22 @@ class Simulation:
 
             self._run_chunk = run_chunk
 
+        # --- multi-device: shard the chains axis over the visible devices --
+        # Chains are embarrassingly parallel (no cross-chain comms inside a
+        # sweep), so when several devices are visible to this process the
+        # batched state is placed with a chains-axis NamedSharding and every
+        # jitted kernel follows it (XLA partitions the vmapped batch). Multi-
+        # process pods call parallel.mesh.init_distributed first and shard
+        # explicitly — see docs/man/scaling.md.
+        self.mesh = None
+        if getattr(self, "spatial_devices", 0) <= 1:
+            ndev = len(jax.devices())
+            if ndev > 1 and chains.n_chains % ndev == 0:
+                from ..parallel import mesh as PM
+
+                self.mesh = PM.make_mesh()
+                self.mc = PM.shard_chains(self.mc, self.mesh)
+
         # PGMC wiring (built lazily by engine/pgmc.py when requested)
         self._pgmc = None
         est = [a for a in self.outputs if a.name == "PolicyGradientEstimator"]
