@@ -22,8 +22,10 @@ attempts, so raw sweeps/s overstates effective sampling vs the reference.
 The JSON therefore also carries accepted moves/s (`accepted_per_s`) and the
 acceptance rate over the SAME timed window, plus `vs_baseline_accepted`
 (accepted/s divided by the node-aggregate accepted/s at the reference's
-measured 0.55 displacement acceptance, examples/lj-mixture README). Sticky
-bucket overflow invalidates the run and is flagged machine-readably.
+measured 0.55 displacement acceptance, examples/lj-mixture README). Bucket
+overflow skips the affected rebin block (identity kernel — unbiased); the
+JSON carries the timed-window skip fraction (`skip_frac`), which is pure
+throughput loss already reflected in the sweeps/s value.
 
 A mixing-honest metric rides along: `msd_per_s` is the mean-square
 displacement per particle per wall-second over the timed window (min-image;
@@ -38,9 +40,11 @@ chains. Ours aggregates the measured per-chain msd_per_s over the chain
 batch. Both sides count every chain once, so the ratio compares total
 configuration-space mixing per wall-second per node vs per chip.
 
-Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_MODE (cb|seq),
+Env knobs: BENCH_N, BENCH_CHAINS, BENCH_SWEEPS, BENCH_BURNIN,
+BENCH_MODE (cb|seq),
 BENCH_SIGMA, BENCH_SWAP (swap-move fraction, 0 disables), BENCH_REBIN,
-BENCH_INNER (default 16 — measured best on TPU v5e), BENCH_CAP,
+BENCH_INNER (default 48 — measured best on TPU v5e with msd_per_s held),
+BENCH_CAP,
 BENCH_MOL (1 = Kremer-Grest trimer melt with a disp+10%-flip pool on the
 molecular checkerboard path; N is rounded to a multiple of 3),
 BASELINE_NODE_CORES.
@@ -57,6 +61,12 @@ if MOL:
     N -= N % 3
 CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
+# advance() calls run before the timed window (beyond the 1 compile call).
+# The default start is a perturbed lattice whose geometric aliasing against
+# the cell grid inflates the max bucket occupancy well above the liquid's
+# equilibrated fluctuations — burn-in measures the production regime and is
+# required for tight caps (BENCH_CAP < 32 at the default state point).
+BURNIN = int(os.environ.get("BENCH_BURNIN", 0))
 MODE = os.environ.get("BENCH_MODE", "cb")
 SIGMA = float(os.environ.get("BENCH_SIGMA", 0.06))
 P_SWAP = float(os.environ.get("BENCH_SWAP", "0"))
@@ -163,10 +173,12 @@ def main():
     if mode == "cb":
         from particlesmc_tpu.moves import checkerboard as CB
 
-        # cap=32 ~= 1.64x the mean occupancy — validated overflow-free over
-        # 768 sweeps from the lattice start at EXACTLY this state point (the
-        # sticky overflow flag below guards the result regardless); any other
-        # state point falls back to the conservative library default.
+        # cap=32 ~= 1.64x the mean occupancy — overflow-free over 768 sweeps
+        # from the lattice start at EXACTLY this state point (skip_frac in
+        # the JSON guards the result regardless); any other state point
+        # falls back to the conservative library default. NOTE the lattice
+        # start's grid aliasing needs cap >= ~29; the equilibrated liquid is
+        # tighter — use BENCH_BURNIN to measure the production regime.
         at_validated_point = (
             (N, DENSITY, TEMPERATURE) == (10_000, 1.2, 1.0) and not MOL
         )
@@ -196,7 +208,7 @@ def main():
             spec,
             table,
             N,
-            inner=int(os.environ.get("BENCH_INNER", "16")),
+            inner=int(os.environ.get("BENCH_INNER", "48")),
             sweeps=REBIN,
             pool=pool,
             max_bonds=max_bonds,
@@ -258,6 +270,11 @@ def main():
     jax.block_until_ready(state.system.position)
     compile_s = time.perf_counter() - t0
 
+    for i in range(BURNIN):
+        state = advance(state, -(i + 1))
+    if BURNIN:
+        jax.block_until_ready(state.system.position)
+
     import numpy as np
 
     def _sum64(x):  # i32 counters overflow a device-side sum at 256 chains
@@ -266,6 +283,7 @@ def main():
     # snapshot BOTH counters so acceptance covers the same timed window
     att0 = _sum64(state.attempted)
     acc0 = _sum64(state.accepted)
+    skip0 = _sum64(state.skipped) if mode == "cb" else 0.0
     pos0 = np.asarray(state.system.position)  # [chains, N, d]
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
     if trace_dir:  # profile ONLY the steady-state timed window
@@ -291,11 +309,13 @@ def main():
     # unbiased — moves/checkerboard.py): the result stays valid and the
     # throughput cost is already reflected in attempted/elapsed. Report the
     # skip fraction so cap tuning stays honest.
-    overflow = mode == "cb" and bool(jnp.any(state.overflow))
     skip_frac = 0.0
+    overflow = False
     if mode == "cb":
-        calls = (SWEEPS_TIMED + 1) * CHAINS  # incl. the compile call
-        skip_frac = _sum64(state.skipped) / max(1, calls)
+        # skip fraction over the TIMED window only (burn-in skips excluded)
+        calls = SWEEPS_TIMED * CHAINS
+        skip_frac = (_sum64(state.skipped) - skip0) / max(1, calls)
+        overflow = skip_frac > 0
         if overflow:
             print(
                 f"# NOTE: {skip_frac:.1%} of rebin blocks skipped "

@@ -490,7 +490,12 @@ class Simulation:
                         with open(self._chain_file(k, f"{name}.dat"), "a") as f:
                             f.write(f"{t} {vals[k]:.12g}\n")
             elif a.name == "StoreAcceptance":
-                # both MCState and CBState keep [n_moves] per-chain counters
+                # both MCState and CBState keep [n_moves] per-chain counters.
+                # Rates are CUMULATIVE over the whole chain — including any
+                # pre-resume history, since checkpoints carry the counters —
+                # matching the reference's whole-run accounting (its
+                # acceptance.dat is total accepted/attempted to date). A
+                # windowed rate can be recovered by differencing rows.
                 att = np.atleast_1d(np.asarray(self.mc.attempted).sum(axis=0))
                 acc = np.atleast_1d(np.asarray(self.mc.accepted).sum(axis=0))
                 for m in range(len(self.pool)):
