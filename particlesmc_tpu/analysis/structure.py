@@ -107,8 +107,40 @@ def self_intermediate_scattering(
     return out
 
 
-def mean_squared_displacement(positions: Sequence[np.ndarray]) -> np.ndarray:
-    """MSD(t) relative to the first frame (unwrapped positions)."""
+def unwrap_trajectory(
+    positions: Sequence[np.ndarray], box: np.ndarray
+) -> np.ndarray:
+    """Undo periodic folding by frame-to-frame minimum-image unwrapping.
+
+    Every engine writer emits FOLDED coordinates (the reference's writers do
+    too — atooms-pp unfolds before computing MSD,
+    examples/ortho-terphenyl/4-compute-correlation-functions). This is the
+    in-repo equivalent: each frame-to-frame step is taken as its minimum
+    image and accumulated, which is exact while every per-particle
+    displacement between CONSECUTIVE stored frames is < box/2 — true for
+    every schedule the engine writes (a particle would need ~(L/2σ)² accepted
+    moves in one storage interval to violate it).
+
+    positions: [T, N, d] folded frames. Returns [T, N, d] unwrapped.
+    """
     pos = np.asarray(positions, np.float64)
+    box = np.asarray(box, np.float64)
+    steps = np.diff(pos, axis=0)
+    steps -= box * np.round(steps / box)
+    return np.concatenate([pos[:1], pos[0] + np.cumsum(steps, axis=0)], axis=0)
+
+
+def mean_squared_displacement(
+    positions: Sequence[np.ndarray], box: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """MSD(t) relative to the first frame.
+
+    Pass `box` for trajectories in folded coordinates (what the engine
+    writes): frames are then min-image unwrapped first (unwrap_trajectory),
+    so boundary crossings are counted correctly. Omit `box` only for
+    positions that are already unwrapped."""
+    pos = np.asarray(positions, np.float64)
+    if box is not None:
+        pos = unwrap_trajectory(pos, box)
     disp = pos - pos[0]
     return (disp**2).sum(-1).mean(-1)

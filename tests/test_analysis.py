@@ -9,6 +9,7 @@ from particlesmc_tpu.analysis import (
     mean_squared_displacement,
     radial_distribution,
     self_intermediate_scattering,
+    unwrap_trajectory,
 )
 from particlesmc_tpu.core import energy as E
 from particlesmc_tpu.core.state import make_system
@@ -42,6 +43,31 @@ def test_fskt_and_msd_static_frames():
     F = self_intermediate_scattering(pos, np.full(3, 10.0), k_mod=7.4)
     np.testing.assert_allclose(F, 1.0, atol=1e-12)  # nothing moved
     np.testing.assert_allclose(mean_squared_displacement(pos), 0.0, atol=1e-15)
+
+
+def test_msd_unwraps_folded_boundary_crossings():
+    """A diffusing walker that crosses the periodic boundary: MSD on the
+    FOLDED trajectory must match the ground-truth unwrapped one when `box`
+    is passed (frame-to-frame min-image unwrapping) — and be wrong without
+    it (the silent-degradation regression pinned here, VERDICT r3)."""
+    rng = np.random.default_rng(7)
+    box = np.full(3, 5.0)
+    steps = rng.normal(0.0, 0.4, (200, 20, 3))  # well under box/2 per frame
+    truth = np.concatenate(
+        [np.zeros((1, 20, 3)), np.cumsum(steps, axis=0)]
+    ) + rng.uniform(0, 5.0, (1, 20, 3))
+    folded = truth - box * np.floor(truth / box)
+    assert np.any(np.abs(truth - folded) > 1.0)  # boundary WAS crossed
+
+    msd_truth = mean_squared_displacement(truth)
+    np.testing.assert_allclose(
+        mean_squared_displacement(folded, box=box), msd_truth, rtol=1e-12
+    )
+    # unwrapped displacements match truth exactly (offset by a constant image)
+    unwrapped = unwrap_trajectory(folded, box)
+    np.testing.assert_allclose(unwrapped - unwrapped[0], truth - truth[0], atol=1e-9)
+    # without the box, folded MSD is badly wrong once the walkers spread
+    assert abs(mean_squared_displacement(folded)[-1] - msd_truth[-1]) > 0.5 * msd_truth[-1]
 
 
 def test_gr_parity_checkerboard_vs_sequential():

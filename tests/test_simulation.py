@@ -189,3 +189,28 @@ def test_cli_missing_file():
 
     assert main(["/nonexistent/params.toml"]) == 1
     assert main(["--help"]) == 0
+
+
+def test_uneven_chains_warns_not_silent(tmp_path):
+    """n_chains not divisible by the visible devices must WARN (the batch
+    stays on one device — a v5e-8 user must not silently run on 1/8 of the
+    host, VERDICT r3). Divisible counts shard without warning."""
+    cfg = tmp_path / "config.xyz"
+    _write_small_config(str(cfg))
+    algorithms = [
+        dict(algorithm="Metropolis", pool=(MB.displacement(0.1),), seed=1),
+    ]
+    ndev = len(jax.devices())
+    assert ndev == 8  # conftest pins 8 virtual CPU devices
+    with pytest.warns(RuntimeWarning, match="not divisible"):
+        sim = Simulation(_chains_from_file(str(cfg), nsim=3), algorithms, 1,
+                         path=str(tmp_path / "o1"))
+    assert sim.mesh is None
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # divisible case: no warning at all
+        sim = Simulation(_chains_from_file(str(cfg), nsim=8), algorithms, 1,
+                         path=str(tmp_path / "o2"))
+    assert sim.mesh is not None

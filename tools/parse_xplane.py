@@ -72,9 +72,12 @@ def main():
                 for st in ev.stats:
                     sname = stat_meta[st.metadata_id].name
                     if sname in ("tf_op", "hlo_op", "name", "tf_op_name"):
-                        v = st.str_value or stat_meta.get(
-                            st.value_metadata_id, type(stat_meta[0])()
-                        ).name
+                        # the xplane oneof stores by-reference strings in
+                        # ref_value (an index into stat_metadata); guard the
+                        # lookup with `in` — map access inserts default entries
+                        v = st.str_value
+                        if not v and st.ref_value in stat_meta:
+                            v = stat_meta[st.ref_value].name
                         if v:
                             scope = v
                 for st in ev.stats:

@@ -126,8 +126,10 @@ def main():
         "plain_s": round(t_plain, 2),
         "pgmc_s": round(t_pgmc, 2),
         "overhead_x": round(t_pgmc / t_plain, 3),
-        "plain_sweeps_per_s": round(args.chains * sweeps / t_plain, 1),
-        "pgmc_sweeps_per_s": round(args.chains * sweeps_p / t_pgmc, 1),
+        # `sweeps` is already the CHAIN-AGGREGATE sweep count (sim.mc.attempted
+        # has a leading [chains] axis and run_once sums it) — no x chains here
+        "plain_sweeps_per_s": round(sweeps / t_plain, 1),
+        "pgmc_sweeps_per_s": round(sweeps_p / t_pgmc, 1),
     }))
 
 
