@@ -92,6 +92,15 @@ def _build_outputs(output_cfgs, steps, burn):
             pass
         elif alg == "ReplicaExchange":
             pass
+        elif alg == "AdaptiveSigma":
+            # acceptance-targeting sigma controller (engine/adaptive.py);
+            # schedule it over the burn-in window — it freezes after its
+            # last event
+            if "move" in out:
+                entry["move"] = int(out["move"]) - 1  # TOML move ids are 1-based
+            for k in ("target", "kappa", "sigma_max"):
+                if k in out:
+                    entry[k] = float(out[k])
         else:
             raise ValueError(f"Unsupported output algorithm: {alg}")
         algos.append(entry)

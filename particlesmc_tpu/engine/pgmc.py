@@ -109,8 +109,20 @@ class PGMC:
         # Gaussian σ the objective is evaluated with the reference's global
         # proposal semantics, an accurate proxy for the checkerboard
         # displacement while σ ≪ cell side (in-cell truncation negligible).
+        self._sigma_proxy_limit = None
         if getattr(sim, "parallel_moves", False):
             config = dataclasses.replace(config, cell_spec=None)
+            # The global-proposal objective is a proxy for the checkerboard
+            # kernel's in-cell-truncated displacement; it is accurate while
+            # σ ≪ cell side. Past ~side/4 the truncation dominates the real
+            # acceptance and gradient ascent on the proxy optimises the
+            # wrong objective — warn (update()) rather than fail silently.
+            # (tests/test_pgmc.py pins argmax agreement below the limit.)
+            spec = getattr(sim, "cb_spec", None)
+            if spec is not None:
+                box0 = np.asarray(sim.chains.states.box)[0]
+                side = float(np.min(box0 / np.asarray(spec.ncells, np.float64)))
+                self._sigma_proxy_limit = side / 4.0
         self._has_cell = config.cell_spec is not None
 
         sample_prop, surrogate_at = build_surrogate_fns(config, n)
@@ -211,4 +223,21 @@ class PGMC:
                 off += sz
             params[m] = new_p
             self._acc[m] = None
+            if self._sigma_proxy_limit is not None and "sigma" in new_p:
+                s = float(np.max(np.abs(np.asarray(new_p["sigma"]))))
+                if s > self._sigma_proxy_limit:
+                    import warnings
+
+                    warnings.warn(
+                        f"PGMC-learned sigma = {s:.4g} exceeds cell_side/4 = "
+                        f"{self._sigma_proxy_limit:.4g}: the global-proposal "
+                        "objective used by the estimator on the checkerboard "
+                        "backend stops tracking the in-cell-truncated kernel "
+                        "here — the learned sigma may be off-optimum. "
+                        "Validate it against a direct sigma sweep of the "
+                        "checkerboard kernel (benchmarks/mixing_sweep.py), "
+                        "or learn on the sequential kernel at this width.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         self.sim.pool_params = tuple(params)

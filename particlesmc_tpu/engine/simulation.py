@@ -384,6 +384,26 @@ class Simulation:
             # same chain, just thinned; default 1 = reference cadence).
             self._pgmc_every = max(1, int(est[0].extra.get("q_every", 1)))
 
+        # Acceptance-targeting sigma controller (engine/adaptive.py) — runs
+        # on its schedule and freezes after its last event; keeps studies
+        # from inheriting a hard-coded displacement width
+        self._sigma_tuner = None
+        tuner = [a for a in self.outputs if a.name == "AdaptiveSigma"]
+        if tuner:
+            from .adaptive import AdaptiveSigma
+
+            t0 = tuner[0]
+            self._sigma_tuner = AdaptiveSigma(
+                self,
+                move=t0.extra.get("move"),
+                target=float(t0.extra.get("target", 0.22)),
+                kappa=float(t0.extra.get("kappa", 1.0)),
+                sigma_max=t0.extra.get("sigma_max"),
+            )
+            if t0.scheduler is None:
+                raise ValueError("AdaptiveSigma needs a scheduler")
+            self._sigma_tuner_sched = set(int(t) for t in t0.scheduler)
+
         # Parallel tempering (first-class here; "(soon)" in the reference)
         self._rex = None
         rex = [a for a in self.outputs if a.name == "ReplicaExchange"]
@@ -580,6 +600,7 @@ class Simulation:
                 "PolicyGradientEstimator",
                 "PolicyGradientUpdate",
                 "ReplicaExchange",
+                "AdaptiveSigma",
             ):
                 continue  # handled in run()
             else:
@@ -661,6 +682,8 @@ class Simulation:
             if gap > 0:
                 self.mc = self._run_chunk(self.mc, self.pool_params, gap)
                 t = int(nxt)
+            if self._sigma_tuner is not None and t in self._sigma_tuner_sched:
+                self._sigma_tuner.step(t)
             if self._rex is not None and t in self._rex_sched:
                 self._rex.step()
                 with open(os.path.join(self.path, "tempering_acceptance.dat"), "a") as f:

@@ -295,3 +295,91 @@ def test_pgmc_learns_sigma_on_checkerboard_backend(tmp_path):
     assert int(np.sum(np.asarray(sim.mc.attempted))) > 0
     p1 = np.loadtxt(tmp_path / "moves" / "1" / "parameters.dat")
     assert p1.shape[0] == len(sched)
+
+
+def test_cb_sigma_proxy_matches_kernel_grid_search_below_guard():
+    """The PGMC estimator on the checkerboard backend optimises the
+    GLOBAL-proposal objective J(σ) = E[A·|δ|²] as a proxy for the in-cell-
+    truncated kernel. This pins the proxy below the σ ≲ cell/4 guard: the
+    proxy's argmax over a σ grid must agree (within one grid neighbour) with
+    a brute-force grid search of the ACTUAL checkerboard kernel's mixing
+    objective at the same state point (VERDICT r3 weak #4)."""
+    from particlesmc_tpu.engine.pgmc import build_surrogate_fns
+    from particlesmc_tpu.moves import checkerboard as CB
+    from particlesmc_tpu.moves import kernel as K
+
+    chains = _ka2d_chains_large(m=1)
+    st = jax.tree.map(lambda x: x[0], chains.states)
+    table = chains.table
+    n = chains.n_particles
+    pool = (MB.displacement(0.05),)
+    box = np.asarray(st.box)
+    spec = CB.make_cb_spec(box, table.max_cutoff, n)
+    side = float(np.min(box / np.asarray(spec.ncells)))
+
+    # equilibrate with the actual kernel first
+    hs = jax.jit(CB.build_hyper_sweep_fn(spec, table, n, pool=pool),
+                 static_argnames=())
+    cb = CB.init_cb_state(st, spec, seed=5, n_moves=1)
+    for _ in range(60):
+        cb = hs(cb, ({"sigma": jnp.asarray(0.08)},))
+    st_eq = cb.system
+
+    sigmas = np.asarray([0.04, 0.08, 0.16, 0.32]) * side / 0.32 / 4  # up to side/4
+
+    # --- actual-kernel objective: accepted MSD per attempt over a block ----
+    def j_cb(sig):
+        c = CB.init_cb_state(st_eq, spec, seed=11, n_moves=1)
+        p0 = np.asarray(c.system.position)
+        reps = 6
+        for _ in range(reps):
+            c = hs(c, ({"sigma": jnp.asarray(float(sig))},))
+        dx = np.asarray(c.system.position) - p0
+        dx -= box * np.round(dx / box)
+        att = float(np.sum(np.asarray(c.attempted)))
+        return float(np.sum(dx * dx)) / max(att, 1.0)
+
+    # --- proxy objective: surrogate A·|δ|² with global proposals ----------
+    config = K.KernelConfig(pool=pool, table=table, cell_spec=None)
+    sample_prop, surrogate_at = build_surrogate_fns(config, n)
+
+    def j_proxy(sig):
+        theta = {"sigma": jnp.asarray(float(sig), st_eq.position.dtype)}
+        vals = []
+        for s in range(64):
+            k = jax.random.fold_in(jax.random.PRNGKey(123), s)
+            prop = sample_prop(theta, 0, k, st_eq, None)
+            v, _ = surrogate_at(prop, theta, 0, st_eq, None)
+            vals.append(float(v))
+        return float(np.mean(vals))
+
+    jc = np.asarray([j_cb(s) for s in sigmas])
+    jp = np.asarray([j_proxy(s) for s in sigmas])
+    ic, ip = int(np.argmax(jc)), int(np.argmax(jp))
+    assert abs(ic - ip) <= 1, (sigmas.tolist(), jc.tolist(), jp.tolist())
+    # and the kernel objective at the proxy's pick is near-optimal
+    assert jc[ip] >= 0.6 * jc[ic], (jc.tolist(), jp.tolist())
+
+
+def test_cb_sigma_guard_warns_past_quarter_cell(tmp_path):
+    """Learned σ exceeding cell_side/4 on the checkerboard backend must warn
+    (the proxy objective is out of its validity domain there)."""
+    chains = _ka2d_chains_large(m=1)
+    pool = (MB.displacement(0.05),)
+    algorithms = [
+        dict(algorithm="Metropolis", pool=pool, seed=7,
+             sweepstep=chains.n_particles, parallel_moves=True),
+        dict(algorithm="PolicyGradientEstimator", dependencies=("Metropolis",),
+             optimisers=(VPG(1e-3),), q_batch_size=2, q_every=1),
+        dict(algorithm="PolicyGradientUpdate",
+             dependencies=("PolicyGradientEstimator",),
+             scheduler=build_schedule(2, 0, 1)),
+    ]
+    sim = Simulation(chains, algorithms, 2, path=str(tmp_path))
+    pg = sim._pgmc
+    assert pg._sigma_proxy_limit is not None
+    # force an accumulated gradient then an update from a σ beyond the guard
+    sim.pool_params = ({"sigma": jnp.asarray(pg._sigma_proxy_limit * 2.0)},)
+    pg.estimate()
+    with pytest.warns(RuntimeWarning, match="cell_side/4"):
+        pg.update()

@@ -214,3 +214,30 @@ def test_uneven_chains_warns_not_silent(tmp_path):
         sim = Simulation(_chains_from_file(str(cfg), nsim=8), algorithms, 1,
                          path=str(tmp_path / "o2"))
     assert sim.mesh is not None
+
+
+def test_adaptive_sigma_targets_acceptance(tmp_path):
+    """AdaptiveSigma drives the displacement width toward the target
+    acceptance from a hopeless start (sigma = 1.0 at a dense state point),
+    then freezes after its last scheduled event (engine/adaptive.py)."""
+    cfg = tmp_path / "config.xyz"
+    _write_small_config(str(cfg), n=48, density=0.9, T_=1.0)
+    chains = _chains_from_file(str(cfg), nsim=8)
+    steps = 120
+    algorithms = [
+        dict(algorithm="Metropolis", pool=(MB.displacement(1.0),), seed=3,
+             sweepstep=chains.n_particles),
+        dict(algorithm="AdaptiveSigma", scheduler=build_schedule(steps, 0, 5),
+             target=0.4, kappa=1.5),
+    ]
+    sim = Simulation(chains, algorithms, steps, path=str(tmp_path / "out"))
+    sim.run()
+    log = np.loadtxt(tmp_path / "out" / "moves" / "1" / "sigma.dat")
+    assert log.shape[0] > 10
+    final_sigma, final_rate = log[-1, 1], log[-1, 2]
+    assert final_sigma < 0.5  # shrank from 1.0
+    assert abs(final_rate - 0.4) < 0.15  # windowed acceptance near target
+    # the controller wrote the tuned sigma back into the live pool params
+    assert float(np.asarray(sim.pool_params[0]["sigma"])) == pytest.approx(
+        final_sigma, rel=1e-10
+    )
