@@ -169,20 +169,20 @@ class Simulation:
             for mv in self.pool:
                 ok = mv.action == "displacement" or (
                     mv.action == "swap"
-                    and mv.policy == "double_uniform"
+                    and mv.policy in ("double_uniform", "energy_bias")
                     and not molecular
                 ) or (mv.action == "flip" and molecular)
                 if not ok:
                     raise ValueError(
                         f"parallel_moves supports Displacement, DiscreteSwap/"
-                        f"DoubleUniform (atomic), and MoleculeFlip (molecular)"
-                        f" pools; {mv.action}/{mv.policy} needs the "
-                        f"sequential kernel (parallel=false)"
+                        f"DoubleUniform+EnergyBias (atomic), and MoleculeFlip "
+                        f"(molecular) pools; {mv.action}/{mv.policy} needs "
+                        f"the sequential kernel (parallel=false)"
                     )
             # PGMC composes with this backend: the estimator draws fresh
             # proposals on mc.system via the dense ΔE path (engine/pgmc.py),
-            # so learnable Gaussian σ works here; EnergyBias swaps stay
-            # sequential-only (rejected by the pool validation above).
+            # so learnable Gaussian σ and EnergyBias θ work here (global-
+            # proposal objective as the documented proxy).
             if not self.shared_box:
                 raise ValueError(
                     "parallel_moves requires all chains to share one box "
@@ -670,7 +670,10 @@ class Simulation:
             print(f"\tNumber of particles: {st.position.shape[1]}")
             print(f"\tDimensions: {st.position.shape[2]}")
             print(f"\tChains: {self.chains.n_chains}")
-            print(f"\tNeighbour mode: {'cell' if self.config.cell_spec else 'dense'}")
+            mode = "checkerboard" if self.parallel_moves else (
+                "cell" if self.config.cell_spec else "dense"
+            )
+            print(f"\tNeighbour mode: {mode}")
 
         t = self._start_step
         if t == 0:

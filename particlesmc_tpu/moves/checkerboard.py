@@ -435,43 +435,28 @@ def _disp_submove_atomic(
     return center_pos, jnp.sum(booked), accept
 
 
-def _swap_submove_atomic(
+def _swap_pair_de(
     table, kp, pf, s1, s2, center_pos, center_sp, pos_o, valid_o,
-    p_o_1, p_o_2, up, up2, log_ua, temperature,
+    p_o_1, p_o_2, pick_i, pick_j,
 ):
-    """One atomic in-cell DiscreteSwap sub-move (see build_hyper_sweep_fn
-    docstring for the proposal-symmetry argument). Returns
-    (center_sp', booked_energy_sum, accept [A])."""
+    """ΔE of swapping the species of the one-hot-picked pair (i: s1→s2 at
+    x_i, j: s2→s1 at x_j). Both sums exclude i and j — the mutual pair term
+    cancels exactly by table symmetry. Shared by the uniform and the
+    energy-biased swap sub-moves. Returns (de [A], x_i, x_j)."""
     d = len(center_pos)
     dt = center_pos[0].dtype
-    s1f = jnp.asarray(float(s1), dt)
-    s2f = jnp.asarray(float(s2), dt)
-    memb1 = center_sp == s1f  # [A, cap]
-    memb2 = center_sp == s2f
-    n1 = jnp.sum(memb1.astype(jnp.int32), axis=-1)  # [A]
-    n2 = jnp.sum(memb2.astype(jnp.int32), axis=-1)
-    r1 = jnp.floor(up * n1.astype(dt)).astype(jnp.int32)
-    r2s = jnp.floor(up2 * n2.astype(dt)).astype(jnp.int32)
-    rank1 = jnp.cumsum(memb1.astype(jnp.int32), axis=-1) - 1
-    rank2 = jnp.cumsum(memb2.astype(jnp.int32), axis=-1) - 1
-    pick_i = memb1 & (rank1 == r1[:, None])  # one-hot [A, cap]
-    pick_j = memb2 & (rank2 == r2s[:, None])
     x_i = [
         jnp.sum(jnp.where(pick_i, center_pos[j], 0.0), axis=-1) for j in range(d)
     ]
     x_j = [
         jnp.sum(jnp.where(pick_j, center_pos[j], 0.0), axis=-1) for j in range(d)
     ]
-    valid_sw = (n1 > 0) & (n2 > 0)  # else auto-reject
-
     # params for the two STATIC mover species vs each neighbour plane; the
     # center plane is live under swaps
     center_sp_safe = jnp.maximum(center_sp, 0.0)
     p_c_1 = _pair_params_static_row(table, s1, center_sp_safe, pf)
     p_c_2 = _pair_params_static_row(table, s2, center_sp_safe, pf)
 
-    # ΔE = Δ_i (s1→s2 at x_i) + Δ_j (s2→s1 at x_j); both sums exclude i and
-    # j (the mutual term cancels by table symmetry)
     de = jnp.zeros(x_i[0].shape, dt)
     for pos_nb, pA, pB, valid in (
         (center_pos, p_c_1, p_c_2, (center_sp >= 0) & ~pick_i & ~pick_j),
@@ -491,7 +476,176 @@ def _swap_submove_atomic(
             - pair_potential(r2j, pB, kp)
         )
         de = de + jnp.sum(jnp.where(valid, du, jnp.zeros_like(du)), axis=-1)
+    return de, x_i, x_j
+
+
+def _swap_submove_atomic(
+    table, kp, pf, s1, s2, center_pos, center_sp, pos_o, valid_o,
+    p_o_1, p_o_2, up, up2, log_ua, temperature,
+):
+    """One atomic in-cell DiscreteSwap sub-move (see build_hyper_sweep_fn
+    docstring for the proposal-symmetry argument). Returns
+    (center_sp', booked_energy_sum, accept [A])."""
+    dt = center_pos[0].dtype
+    s1f = jnp.asarray(float(s1), dt)
+    s2f = jnp.asarray(float(s2), dt)
+    memb1 = center_sp == s1f  # [A, cap]
+    memb2 = center_sp == s2f
+    n1 = jnp.sum(memb1.astype(jnp.int32), axis=-1)  # [A]
+    n2 = jnp.sum(memb2.astype(jnp.int32), axis=-1)
+    r1 = jnp.floor(up * n1.astype(dt)).astype(jnp.int32)
+    r2s = jnp.floor(up2 * n2.astype(dt)).astype(jnp.int32)
+    rank1 = jnp.cumsum(memb1.astype(jnp.int32), axis=-1) - 1
+    rank2 = jnp.cumsum(memb2.astype(jnp.int32), axis=-1) - 1
+    pick_i = memb1 & (rank1 == r1[:, None])  # one-hot [A, cap]
+    pick_j = memb2 & (rank2 == r2s[:, None])
+    valid_sw = (n1 > 0) & (n2 > 0)  # else auto-reject
+
+    de, _, _ = _swap_pair_de(
+        table, kp, pf, s1, s2, center_pos, center_sp, pos_o, valid_o,
+        p_o_1, p_o_2, pick_i, pick_j,
+    )
     accept = valid_sw & (log_ua < -de / temperature)
+    booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
+    center_sp = jnp.where(
+        pick_i & accept[:, None],
+        s2f,
+        jnp.where(pick_j & accept[:, None], s1f, center_sp),
+    )
+    return center_sp, jnp.sum(booked), accept
+
+
+def _cell_member_energies(
+    table, kp, pf, center_pos, center_sp, pos_o, sp_o_safe, valid_o,
+):
+    """Per-member local energies E [A, cap]: every center-block particle's
+    pair-energy sum against the whole 3^d neighbourhood (own cell + 26
+    static blocks), self excluded. This is compute_energy_particle
+    (reference src/atoms.jl:81-88) evaluated for ALL members of every active
+    cell at once — the input the EnergyBias softmax needs, with no gathers
+    (everything is already extracted)."""
+    d = len(center_pos)
+    dt = center_pos[0].dtype
+    cap = center_sp.shape[-1]
+    valid_c = center_sp >= 0  # [A, cap]
+    sa = jnp.maximum(center_sp, 0.0)
+
+    # center ↔ center (exclude the self lane)
+    r2cc = jnp.zeros(center_sp.shape + (cap,), dt)  # [A, cap, cap]
+    for j in range(d):
+        dx = center_pos[j][:, :, None] - center_pos[j][:, None, :]
+        r2cc = r2cc + dx * dx
+    pcc = _pair_params(table, sa[:, :, None], sa[:, None, :], pf)
+    ucc = pair_potential(r2cc, pcc, kp)
+    not_self = ~jnp.eye(cap, dtype=bool)[None]
+    mcc = valid_c[:, :, None] & valid_c[:, None, :] & not_self
+    e = jnp.sum(jnp.where(mcc, ucc, jnp.zeros_like(ucc)), axis=-1)
+
+    # center ↔ others (halos image-corrected: plain differences)
+    r2co = jnp.zeros(center_sp.shape + (pos_o[0].shape[-1],), dt)  # [A,cap,26cap]
+    for j in range(d):
+        dx = pos_o[j][:, None, :] - center_pos[j][:, :, None]
+        r2co = r2co + dx * dx
+    pco = _pair_params(table, sa[:, :, None], sp_o_safe[:, None, :], pf)
+    uco = pair_potential(r2co, pco, kp)
+    mco = valid_c[:, :, None] & valid_o[:, None, :]
+    e = e + jnp.sum(jnp.where(mco, uco, jnp.zeros_like(uco)), axis=-1)
+    return e
+
+
+def _softmax_pick(logits, memb, u):
+    """Inverse-CDF categorical over the masked softmax of `logits` [A, cap]
+    restricted to `memb`, driven by ONE uniform u [A] per cell. Returns
+    (one-hot pick [A, cap], log-prob of the picked lane [A]). Cells with no
+    members return an all-false pick (callers must auto-reject them)."""
+    dt = logits.dtype
+    neg = jnp.asarray(-jnp.inf, dt)
+    lv = jnp.where(memb, logits, neg)
+    m = jnp.max(lv, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+    w = jnp.where(memb, jnp.exp(lv - m), jnp.zeros_like(logits))
+    tot = jnp.sum(w, axis=-1, keepdims=True)  # [A, 1]
+    cum = jnp.cumsum(w, axis=-1)
+    thr = u[:, None] * tot  # u in [0, 1): thr < tot, so exactly one lane hits
+    pick = memb & (cum > thr) & ((cum - w) <= thr)
+    # ties on equal cumsum plateaus (w == 0 runs) resolve to the first lane
+    first = jnp.cumsum(pick.astype(jnp.int32), axis=-1) == 1
+    pick = pick & first
+    logp = jnp.sum(jnp.where(pick, lv, jnp.zeros_like(lv)), axis=-1) - (
+        m[:, 0] + jnp.log(jnp.maximum(tot[:, 0], jnp.finfo(dt).tiny))
+    )
+    return pick, logp
+
+
+def _swap_submove_energy_bias(
+    table, kp, pf, s1, s2, center_pos, center_sp, pos_o, sp_o_safe, valid_o,
+    p_o_1, p_o_2, th1, th2, up, up2, log_ua, temperature,
+):
+    """One in-cell ENERGY-BIASED DiscreteSwap sub-move (reference EnergyBias,
+    src/moves.jl:246-280, rebuilt for the checkerboard geometry).
+
+    Within each active cell, i is drawn from the s1 members with probability
+    ∝ exp(θ1·E_i) and j from the s2 members ∝ exp(θ2·E_j), where E are the
+    members' true local energies from the extracted blocks
+    (_cell_member_energies) — a masked softmax, no new gathers. The proposal
+    is ASYMMETRIC, so Metropolis-Hastings applies the exact correction: the
+    reverse density is evaluated in the post-swap configuration (species of
+    i, j exchanged — the reference computes log_proposal_density of the
+    inverted action after perform_action!, SURVEY.md §3.2). Swapping i and j
+    preserves the cell's composition, so the reverse pick is over the same
+    populations and cross-cell independence holds exactly as for the uniform
+    in-cell swap. Cells missing either species auto-reject.
+
+    This differs from the reference's GLOBAL softmax over all N particles as
+    a proposal distribution but targets the same ensemble (the analogue of
+    the in-cell uniform swap vs the reference's global uniform pair);
+    parity is established statistically (tests/test_cb_energy_bias.py).
+
+    Returns (center_sp', booked_energy_sum, accept [A])."""
+    dt = center_pos[0].dtype
+    s1f = jnp.asarray(float(s1), dt)
+    s2f = jnp.asarray(float(s2), dt)
+    memb1 = center_sp == s1f
+    memb2 = center_sp == s2f
+    valid_sw = jnp.any(memb1, axis=-1) & jnp.any(memb2, axis=-1)
+
+    e_pre = _cell_member_energies(
+        table, kp, pf, center_pos, center_sp, pos_o, sp_o_safe, valid_o
+    )
+    pick_i, lp_i = _softmax_pick(th1 * e_pre, memb1, up)
+    pick_j, lp_j = _softmax_pick(th2 * e_pre, memb2, up2)
+    log_q_fwd = lp_i + lp_j
+
+    de, _, _ = _swap_pair_de(
+        table, kp, pf, s1, s2, center_pos, center_sp, pos_o, valid_o,
+        p_o_1, p_o_2, pick_i, pick_j,
+    )
+
+    # reverse density in the post-swap configuration: i is s2, j is s1
+    center_sp2 = jnp.where(pick_i, s2f, jnp.where(pick_j, s1f, center_sp))
+    e_post = _cell_member_energies(
+        table, kp, pf, center_pos, center_sp2, pos_o, sp_o_safe, valid_o
+    )
+    memb1b = center_sp2 == s1f
+    memb2b = center_sp2 == s2f
+    l1 = jnp.where(memb1b, th1 * e_post, jnp.asarray(-jnp.inf, dt))
+    l2 = jnp.where(memb2b, th2 * e_post, jnp.asarray(-jnp.inf, dt))
+
+    def _lse(lv):
+        m = jnp.max(lv, axis=-1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+        return m[:, 0] + jnp.log(
+            jnp.maximum(jnp.sum(jnp.exp(lv - m), axis=-1), jnp.finfo(dt).tiny)
+        )
+
+    # reverse picks j (now s1) and i (now s2)
+    lp_rev_j = jnp.sum(jnp.where(pick_j, th1 * e_post, 0.0), axis=-1) - _lse(l1)
+    lp_rev_i = jnp.sum(jnp.where(pick_i, th2 * e_post, 0.0), axis=-1) - _lse(l2)
+    log_q_rev = lp_rev_j + lp_rev_i
+
+    log_alpha = -de / temperature + log_q_rev - log_q_fwd
+    log_alpha = jnp.where(jnp.isnan(log_alpha), jnp.asarray(-jnp.inf, dt), log_alpha)
+    accept = valid_sw & (log_ua < log_alpha)
     booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
     center_sp = jnp.where(
         pick_i & accept[:, None],
@@ -589,8 +743,10 @@ def build_hyper_sweep_fn(
     pair selection (src/moves.jl:226-241) as a proposal distribution but
     targets the same ensemble; parity is established statistically
     (tests/test_checkerboard.py). MoleculeFlip runs here too on molecular
-    systems (cell-local partner pick, see below); EnergyBias swaps remain
-    sequential-kernel-only.
+    systems (cell-local partner pick, see below). EnergyBias swaps (the PGMC
+    flagship policy, reference src/moves.jl:246-280) run as an in-cell
+    masked-softmax pick over the members' true local energies with the exact
+    MH asymmetry correction (_swap_submove_energy_bias) — atomic pools only.
 
     `inner` runs that many SEQUENTIAL Metropolis sub-moves per active cell
     per substep against the once-extracted neighbour blocks (the active
@@ -656,7 +812,9 @@ def build_hyper_sweep_fn(
     molecular = max_bonds > 0
     for mv in pool:
         ok = mv.action == "displacement" or (
-            mv.action == "swap" and mv.policy == "double_uniform" and not molecular
+            mv.action == "swap"
+            and mv.policy in ("double_uniform", "energy_bias")
+            and not molecular
         ) or (mv.action == "flip" and molecular)
         if not ok:
             raise ValueError(
@@ -706,6 +864,15 @@ def build_hyper_sweep_fn(
         sigmas = [
             jnp.asarray(pool_params[m]["sigma"], dt)
             if pool[m].action == "displacement"
+            else None
+            for m in range(n_moves)
+        ]
+        thetas = [
+            (
+                jnp.asarray(pool_params[m]["theta1"], dt),
+                jnp.asarray(pool_params[m]["theta2"], dt),
+            )
+            if pool[m].action == "swap" and pool[m].policy == "energy_bias"
             else None
             for m in range(n_moves)
         ]
@@ -1058,12 +1225,21 @@ def build_hyper_sweep_fn(
                 elif mv.action == "swap":
                     # --- in-cell species swap (see build docstring) ----------
                     p_o_1, p_o_2 = swap_o_rows[m]
-                    center_sp, booked_sum, accept = _swap_submove_atomic(
-                        table, kp, pf, mv.species[0], mv.species[1],
-                        center_pos, center_sp, pos_o, valid_o, p_o_1, p_o_2,
-                        rnd_c["up"][kin], rnd_c["up2"][kin],
-                        jnp.log(rnd_c["ua"][kin]), temperature,
-                    )
+                    if mv.policy == "energy_bias":
+                        center_sp, booked_sum, accept = _swap_submove_energy_bias(
+                            table, kp, pf, mv.species[0], mv.species[1],
+                            center_pos, center_sp, pos_o, sp_o_safe, valid_o,
+                            p_o_1, p_o_2, thetas[m][0], thetas[m][1],
+                            rnd_c["up"][kin], rnd_c["up2"][kin],
+                            jnp.log(rnd_c["ua"][kin]), temperature,
+                        )
+                    else:
+                        center_sp, booked_sum, accept = _swap_submove_atomic(
+                            table, kp, pf, mv.species[0], mv.species[1],
+                            center_pos, center_sp, pos_o, valid_o, p_o_1, p_o_2,
+                            rnd_c["up"][kin], rnd_c["up2"][kin],
+                            jnp.log(rnd_c["ua"][kin]), temperature,
+                        )
                     energy = energy + booked_sum
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
