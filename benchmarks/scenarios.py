@@ -17,11 +17,19 @@ import json
 import sys
 import time
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    # per-platform cache: CPU AOT entries poison the TPU dir (and are
+    # host-machine-feature specific -> SIGILL across hosts)
+    "/tmp/jax_cache_cpu"
+    if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/jax_cache",
+)
 
 sys.path.insert(0, ".")
 

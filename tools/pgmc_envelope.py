@@ -109,7 +109,14 @@ def main():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        # per-platform cache: CPU AOT entries poison the TPU dir (and are
+        # host-machine-feature specific -> SIGILL across hosts)
+        "/tmp/jax_cache_cpu"
+        if os.environ.get("JAX_PLATFORMS") == "cpu"
+        else "/tmp/jax_cache",
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     t_plain, sweeps = run_once(
