@@ -66,8 +66,20 @@ SWEEPS_TIMED = int(os.environ.get("BENCH_SWEEPS", 8))
 # the cell grid inflates the max bucket occupancy well above the liquid's
 # equilibrated fluctuations — burn-in measures the production regime and is
 # required for tight caps (BENCH_CAP < 32 at the default state point).
-BURNIN = int(os.environ.get("BENCH_BURNIN", 0))
+# Default 8 calls (= 8*REBIN sweeps): rounds 1-3 measured from the lattice
+# start (BURNIN=0), whose relaxation transient inflated msd_per_s ~2x over
+# the equilibrated liquid's (measured: 0.0124 from the lattice vs 0.0059
+# equilibrated at identical settings, benchmarks/mixing_sweep.py r4 matrix).
+# Sweeps/s is start-insensitive; only the mixing metric was affected.
+BURNIN = int(os.environ.get("BENCH_BURNIN", 8))
 MODE = os.environ.get("BENCH_MODE", "cb")
+# sigma=0.06 is the MEASURED msd_per_s optimum at this state point — swept
+# over sigma in [0.05, 0.30] x rebin in {4,8,16} x inner in {8,16,48} on the
+# TPU (benchmarks/mixing_sweep.py, matrix in docs/man/performance.md):
+# acceptance falls steeply enough with sigma (0.37 @ 0.05 -> 0.01 @ 0.30)
+# that acc*sigma^2 is flat and cell-exit rejects tip the balance to 0.06.
+# Studies should not hard-code this: the engine's AdaptiveSigma output
+# algorithm (engine/adaptive.py) targets an acceptance on any state point.
 SIGMA = float(os.environ.get("BENCH_SIGMA", 0.06))
 P_SWAP = float(os.environ.get("BENCH_SWAP", "0"))
 REBIN = int(os.environ.get("BENCH_REBIN", 16))  # sweeps per rebin block (cb mode)

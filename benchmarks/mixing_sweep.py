@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--equil-sweeps", type=int, default=192)
     ap.add_argument("--meas-sweeps", type=int, default=128,
                     help="hyper-sweeps per measurement (equal across cells)")
+    ap.add_argument("--cell-factor", type=float, default=1.0,
+                    help="inflate the grid's rcut by this factor: bigger "
+                    "cells cut the cell-exit auto-reject fraction at large "
+                    "sigma at the price of more candidate lanes per move "
+                    "(cap grows ~factor^d). 1.0 = the production grid.")
     args = ap.parse_args()
 
     import jax
@@ -86,9 +91,13 @@ def main():
     table = T.KobAndersen(jnp.float32)
     st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=jnp.float32)
     box = np.asarray(st.box)
-    spec = CB.make_cb_spec(box, table.max_cutoff, n, cap=args.cap or None)
+    spec = CB.make_cb_spec(
+        box, table.max_cutoff * args.cell_factor, n,
+        cap=(args.cap or None) if args.cell_factor == 1.0 else None,
+    )
     if spec is None:
         raise SystemExit("box too small for a checkerboard grid at this N")
+    print(f"# grid {spec.ncells} cap={spec.cap}", file=sys.stderr)
     pool = (MB.displacement(0.06),)
 
     def build(rebin):
@@ -150,6 +159,9 @@ def main():
             row = {
                 "sigma": sig,
                 "rebin": rebin,
+                "inner": args.inner,
+                "cell_factor": args.cell_factor,
+                "cap": spec.cap,
                 "sweeps_per_s": round(att / n / el, 1),
                 "acceptance": round(acc / max(att, 1.0), 4),
                 "msd_per_s": round(msd / el, 6),

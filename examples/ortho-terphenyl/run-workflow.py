@@ -210,6 +210,13 @@ def main():
     ap.add_argument("--temperatures", type=float, nargs="+", default=[2.0, 1.4])
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
     ap.add_argument(
+        "--stages",
+        default="1234",
+        help="which stages to run (e.g. '1' to densify only, '234' to "
+        "resume from an existing stage-1 workdir — lets the cheap "
+        "densification run on CPU while the TPU is busy)",
+    )
+    ap.add_argument(
         "--out",
         default=None,
         help="directory for fskt.csv + fskt.png (default: workdir; pass the "
@@ -243,38 +250,48 @@ def main():
     s1 = os.path.join(wd, "1-densify")
     os.makedirs(s1, exist_ok=True)
     cfg = os.path.join(s1, "inputframe.xyz")
-    stage1_lattice(args.molecules, DENSITIES[0], cfg)
-    for rho in DENSITIES:
-        out = os.path.join(s1, f"rho-{rho}")
-        run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out, parallel=use_parallel), out)
-        shutil.copy(os.path.join(out, "chains", "1", "lastframe.xyz"), cfg)
-        print(f"[stage 1] density {rho} done", flush=True)
+    if "1" in args.stages:
+        stage1_lattice(args.molecules, DENSITIES[0], cfg)
+        for rho in DENSITIES:
+            out = os.path.join(s1, f"rho-{rho}")
+            run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out, parallel=use_parallel), out)
+            shutil.copy(os.path.join(out, "chains", "1", "lastframe.xyz"), cfg)
+            print(f"[stage 1] density {rho} done", flush=True)
 
     # ---- stage 2: equilibrate per temperature -----------------------------
-    lastframes = {}
-    for T in args.temperatures:
-        out = os.path.join(wd, "2-equilibrate", str(T))
-        run_cli(params_toml(cfg, T, 1.2, args.equil_steps, out, parallel=use_parallel), out)
-        lastframes[T] = os.path.join(out, "chains", "1", "lastframe.xyz")
-        print(f"[stage 2] T={T} equilibrated", flush=True)
+    lastframes = {
+        T: os.path.join(wd, "2-equilibrate", str(T), "chains", "1", "lastframe.xyz")
+        for T in args.temperatures
+    }
+    if "2" in args.stages:
+        for T in args.temperatures:
+            out = os.path.join(wd, "2-equilibrate", str(T))
+            run_cli(params_toml(cfg, T, 1.2, args.equil_steps, out, parallel=use_parallel), out)
+            print(f"[stage 2] T={T} equilibrated", flush=True)
 
     # ---- stage 3: production with log-spaced trajectories -----------------
-    trajs = {}
-    for T in args.temperatures:
-        out = os.path.join(wd, "3-production", str(T))
-        run_cli(
-            params_toml(
-                lastframes[T], T, 1.2, args.prod_steps, out,
-                traj_interval=max(1, args.prod_steps // 50),
-                nsim=args.nsim, traj_log=True, parallel=use_parallel,
-            ),
-            out,
-        )
-        trajs[T] = [
-            os.path.join(out, "chains", str(k + 1), "trajectory.exyz")
+    trajs = {
+        T: [
+            os.path.join(wd, "3-production", str(T), "chains", str(k + 1),
+                         "trajectory.exyz")
             for k in range(args.nsim)
         ]
-        print(f"[stage 3] T={T} production done", flush=True)
+        for T in args.temperatures
+    }
+    if "3" in args.stages:
+        for T in args.temperatures:
+            out = os.path.join(wd, "3-production", str(T))
+            run_cli(
+                params_toml(
+                    lastframes[T], T, 1.2, args.prod_steps, out,
+                    traj_interval=max(1, args.prod_steps // 50),
+                    nsim=args.nsim, traj_log=True, parallel=use_parallel,
+                ),
+                out,
+            )
+            print(f"[stage 3] T={T} production done", flush=True)
+    if "4" not in args.stages:
+        return
 
     # ---- stage 4: F_s(k, t) at k = 7.4 ------------------------------------
     n = 3 * args.molecules

@@ -123,8 +123,10 @@ def test_parallel_moves_mixed_pool_simulation(tmp_path):
 
 
 def test_parallel_moves_rejects_unsupported():
+    # EnergyBias swaps are checkerboard-supported since round 4 (in-cell
+    # masked-softmax pick); a flip move on an ATOMIC system is not.
     chains = _chains(m=1)
-    pool = (MB.displacement(0.1), MB.discrete_swap(0, 1, 0.5, policy="energy_bias"))
+    pool = (MB.displacement(0.1), MB.molecule_flip(probability=0.5))
     with pytest.raises(ValueError, match="sequential"):
         Simulation(
             chains,
