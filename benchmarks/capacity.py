@@ -68,8 +68,10 @@ def main():
     ap.add_argument("--ns", type=int, nargs="+",
                     default=[10_000, 30_000, 100_000, 300_000, 1_000_000])
     ap.add_argument("--budget-gb", type=float, default=4.0)
-    ap.add_argument("--sweeps", type=int, default=4)
-    ap.add_argument("--inner", type=int, default=16)
+    ap.add_argument("--sweeps", type=int, default=4,
+                    help="timed hyper-sweep calls (each = rebin sweeps)")
+    ap.add_argument("--inner", type=int, default=48)
+    ap.add_argument("--rebin", type=int, default=16)
     ap.add_argument("--max-chains", type=int, default=256)
     args = ap.parse_args()
 
@@ -80,9 +82,18 @@ def main():
         pos, species = lattice(n)
         st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=dtype)
         spec = CB.make_cb_spec(np.asarray(st.box), table.max_cutoff, n)
+        # production settings (bench.py / mixing matrix): inner=48, rebin=16,
+        # and a 32-aligned bucket cap — the auto cap can land on values like
+        # 49 whose candidate-lane axis breaks XLA's 128-lane tiling (measured
+        # 21% slower at cap=28 vs 32; worse at 49): round UP to x32, which
+        # only adds masked lanes and cannot overflow earlier.
+        cap32 = -(-spec.cap // 32) * 32
+        spec = CB.CBSpec(ncells=spec.ncells, cap=cap32)
         per_chain = bytes_per_chain(n, spec)
         chains = max(1, min(args.max_chains, int(args.budget_gb * 1e9 / per_chain)))
-        hs = CB.build_hyper_sweep_fn(spec, table, n, inner=args.inner, sweeps=1)
+        hs = CB.build_hyper_sweep_fn(
+            spec, table, n, inner=args.inner, sweeps=args.rebin
+        )
 
         @jax.jit
         def init_all(st):

@@ -153,6 +153,10 @@ config = "{cfg}"
 temperature = {T}
 density = {density}
 list_type = "LinkedList"
+# 32-aligned bucket cap: the auto molecular cap (occ_factor 4 -> 24 at the
+# production 8^3 grid) breaks XLA's 128-lane tiling; x32 caps only add
+# masked lanes (see docs/man/performance.md, cap=28 measurement)
+list_parameters = {{cap = 32}}
 
 [model]
 {MODEL_BLOCKS}
@@ -210,6 +214,13 @@ def main():
     ap.add_argument("--temperatures", type=float, nargs="+", default=[2.0, 1.4])
     ap.add_argument("--workdir", default=os.path.join(HERE, "tmp"))
     ap.add_argument(
+        "--densities",
+        default=None,
+        help="comma list overriding the stage-1 ladder; with an existing "
+        "1-densify/inputframe.xyz this RESUMES the ladder from that frame "
+        "(e.g. after moving a partially-densified study between hosts)",
+    )
+    ap.add_argument(
         "--stages",
         default="1234",
         help="which stages to run (e.g. '1' to densify only, '234' to "
@@ -251,8 +262,13 @@ def main():
     os.makedirs(s1, exist_ok=True)
     cfg = os.path.join(s1, "inputframe.xyz")
     if "1" in args.stages:
-        stage1_lattice(args.molecules, DENSITIES[0], cfg)
-        for rho in DENSITIES:
+        ladder = (
+            [float(x) for x in args.densities.split(",")]
+            if args.densities else DENSITIES
+        )
+        if not (args.densities and os.path.exists(cfg)):
+            stage1_lattice(args.molecules, DENSITIES[0], cfg)
+        for rho in ladder:
             out = os.path.join(s1, f"rho-{rho}")
             run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out, parallel=use_parallel), out)
             shutil.copy(os.path.join(out, "chains", "1", "lastframe.xyz"), cfg)
