@@ -58,9 +58,18 @@ def lattice(n, seed=0):
     return pos, species
 
 
-def bytes_per_chain(n, spec):
-    # positions + species + planes + idx + slot (f32/i32 = 4 B)
-    return 4 * (n * DIM + n + spec.total * spec.cap * (DIM + 1) + spec.total * spec.cap + n)
+def bytes_per_chain(n, spec, inner, rebin):
+    # state: positions + species + planes + idx + slot (f32/i32 = 4 B)
+    state = 4 * (
+        n * DIM + n + spec.total * spec.cap * (DIM + 1) + spec.total * spec.cap + n
+    )
+    # dominant HLO temps (measured from the N=1e5 OOM report): the kernel
+    # draws the whole rebin block's Gaussian proposals up front —
+    # rebin x inner x (d+1) x ncells floats — plus ~6 s32[n] sort copies
+    # for the carried rebin
+    proposals = 4 * rebin * inner * (DIM + 1) * spec.total
+    sort = 6 * 4 * n
+    return state + proposals + sort
 
 
 def main():
@@ -88,8 +97,10 @@ def main():
         # 21% slower at cap=28 vs 32; worse at 49): round UP to x32, which
         # only adds masked lanes and cannot overflow earlier.
         cap32 = -(-spec.cap // 32) * 32
+        if n == 10_000:
+            cap32 = 32  # overflow-validated at the bench point (bench.py)
         spec = CB.CBSpec(ncells=spec.ncells, cap=cap32)
-        per_chain = bytes_per_chain(n, spec)
+        per_chain = bytes_per_chain(n, spec, args.inner, args.rebin)
         chains = max(1, min(args.max_chains, int(args.budget_gb * 1e9 / per_chain)))
         hs = CB.build_hyper_sweep_fn(
             spec, table, n, inner=args.inner, sweeps=args.rebin

@@ -155,8 +155,11 @@ density = {density}
 list_type = "LinkedList"
 # 32-aligned bucket cap: the auto molecular cap (occ_factor 4 -> 24 at the
 # production 8^3 grid) breaks XLA's 128-lane tiling; x32 caps only add
-# masked lanes (see docs/man/performance.md, cap=28 measurement)
-list_parameters = {{cap = 32}}
+# masked lanes (see docs/man/performance.md, cap=28 measurement).
+# inner=16 / rebin_every=16: the measured msd_per_s optimum of the round-4
+# mixing matrix (per-sweep mixing is rebin-insensitive; inner 16-48 are
+# msd-equivalent with 16 mixing hardest per sweep).
+list_parameters = {{cap = 32, inner = 16, rebin_every = 16}}
 
 [model]
 {MODEL_BLOCKS}
@@ -173,7 +176,7 @@ output_path = "{out}"
 [[simulation.output]]
 algorithm = "StoreCallbacks"
 callbacks = ["energy"]
-scheduler_params = {{linear_interval = {max(1, steps // 20)}}}
+scheduler_params = {{linear_interval = {max(1, steps // 20) // 16 * 16 or max(1, steps // 20)}}}
 {traj}
 [[simulation.output]]
 algorithm = "StoreLastFrames"

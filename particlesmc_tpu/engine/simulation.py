@@ -157,7 +157,7 @@ class Simulation:
         keys = jax.vmap(lambda c: jax.random.fold_in(jax.random.PRNGKey(self.seed), c))(
             jnp.arange(chains.n_chains)
         )
-        self._chunk_cache: Dict[int, Callable] = {}
+        self._chunk_cache: Dict[Any, Callable] = {}
 
         if self.parallel_moves:
             # Checkerboard hyper-sweep backend (moves/checkerboard.py):
@@ -276,36 +276,55 @@ class Simulation:
                     hs_blocks[sweeps] = f
                 return f
 
+            # Chunks are dispatched as ONE jitted program whose block count
+            # is a DYNAMIC fori_loop bound, so every gap length in a
+            # schedule reuses the same compile. (Compiling per distinct gap
+            # length — the previous design — made log-spaced production
+            # schedules pay a full XLA compile for each of their ~2 log2(T)
+            # distinct gaps.) Only remainder blocks (n_sweeps % rebin_every)
+            # compile per distinct value, bounded by rebin_every.
+            def _wrap(g):
+                if spatial_mesh is not None:
+                    # the sharded kernel is written for ONE (unbatched)
+                    # system; peel/restore the chains axis of length 1
+                    def batched(mc, params, *a):
+                        one = jax.tree.map(lambda x: x[0], mc)
+                        out = g(one, params, *a)
+                        return jax.tree.map(lambda x: x[None], out)
+
+                    return batched
+                in_axes = (0, None) + (None,) * (
+                    g.__code__.co_argcount - 2
+                )
+                return jax.vmap(g, in_axes=in_axes)
+
             def run_chunk(mc, params, n_sweeps: int):
-                f = self._chunk_cache.get(n_sweeps)
-                if f is None:
-                    nb, rem = divmod(n_sweeps, rebin_every)
-                    block = hs_block(rebin_every)
-                    rem_block = hs_block(rem) if rem else None
+                nb, rem = divmod(n_sweeps, rebin_every)
+                if nb:
+                    g = self._chunk_cache.get("blocks")
+                    if g is None:
+                        block = hs_block(rebin_every)
 
-                    def chunk(mc, params):
-                        if nb:
-                            def body(carry, _):
-                                return block(carry, params), None
+                        def blocks(mc, params, nb):
+                            return jax.lax.fori_loop(
+                                0, nb, lambda i, c: block(c, params), mc
+                            )
 
-                            mc, _ = jax.lax.scan(body, mc, None, length=nb)
-                        if rem_block is not None:
-                            mc = rem_block(mc, params)
-                        return mc
+                        g = jax.jit(_wrap(blocks))
+                        self._chunk_cache["blocks"] = g
+                    mc = g(mc, params, nb)
+                if rem:
+                    r = self._chunk_cache.get(("rem", rem))
+                    if r is None:
+                        rb = hs_block(rem)
 
-                    if spatial_mesh is not None:
-                        # the sharded kernel is written for ONE (unbatched)
-                        # system; peel/restore the chains axis of length 1
-                        def batched(mc, params):
-                            one = jax.tree.map(lambda x: x[0], mc)
-                            out = chunk(one, params)
-                            return jax.tree.map(lambda x: x[None], out)
+                        def remf(mc, params):
+                            return rb(mc, params)
 
-                        f = jax.jit(batched)
-                    else:
-                        f = jax.jit(jax.vmap(chunk, in_axes=(0, None)))
-                    self._chunk_cache[n_sweeps] = f
-                return f(mc, params)
+                        r = jax.jit(_wrap(remf))
+                        self._chunk_cache[("rem", rem)] = r
+                    mc = r(mc, params)
+                return mc
 
             self._run_chunk = run_chunk
         else:
@@ -315,21 +334,19 @@ class Simulation:
 
             sweep = K.build_sweep_fn(self.config, n)
 
+            # dynamic sweep count: one compile serves every gap length
+            # (see the checkerboard path above for the rationale)
             def chunk(mc, params, n_sweeps):
-                def body(carry, _):
-                    return sweep(carry, params), None
-
-                mc, _ = jax.lax.scan(body, mc, None, length=n_sweeps)
-                return mc
+                return jax.lax.fori_loop(
+                    0, n_sweeps, lambda i, c: sweep(c, params), mc
+                )
 
             def run_chunk(mc, params, n_sweeps: int):
-                f = self._chunk_cache.get(n_sweeps)
+                f = self._chunk_cache.get("chunk")
                 if f is None:
-                    f = jax.jit(
-                        jax.vmap(partial(chunk, n_sweeps=n_sweeps), in_axes=(0, None))
-                    )
-                    self._chunk_cache[n_sweeps] = f
-                return f(mc, params)
+                    f = jax.jit(jax.vmap(chunk, in_axes=(0, None, None)))
+                    self._chunk_cache["chunk"] = f
+                return f(mc, params, n_sweeps)
 
             self._run_chunk = run_chunk
 
