@@ -305,14 +305,20 @@ class Simulation:
                     if g is None:
                         block = hs_block(rebin_every)
 
-                        def blocks(mc, params, nb):
-                            return jax.lax.fori_loop(
-                                0, nb, lambda i, c: block(c, params), mc
-                            )
+                        def blocks(mc, params):
+                            return block(mc, params)
 
                         g = jax.jit(_wrap(blocks))
                         self._chunk_cache["blocks"] = g
-                    mc = g(mc, params, nb)
+                    # host loop over the one jitted block: dispatch is ~ms
+                    # against ~10-100 ms of device work per block, and a
+                    # device-side dynamic while_loop around this kernel was
+                    # observed to wedge the (experimental) tunnelled TPU
+                    # runtime. Async dispatch keeps the device saturated —
+                    # the host runs ahead; nothing blocks until an output
+                    # event pulls values.
+                    for _ in range(nb):
+                        mc = g(mc, params)
                 if rem:
                     r = self._chunk_cache.get(("rem", rem))
                     if r is None:
@@ -334,19 +340,19 @@ class Simulation:
 
             sweep = K.build_sweep_fn(self.config, n)
 
-            # dynamic sweep count: one compile serves every gap length
-            # (see the checkerboard path above for the rationale)
-            def chunk(mc, params, n_sweeps):
-                return jax.lax.fori_loop(
-                    0, n_sweeps, lambda i, c: sweep(c, params), mc
-                )
-
+            # one jitted sweep serves every gap length via a host loop (one
+            # compile total; see the checkerboard path above — a dynamic
+            # device-side trip count wedged the tunnelled TPU runtime, and
+            # per-sweep dispatch is negligible against per-sweep device
+            # time on every path that uses this kernel)
             def run_chunk(mc, params, n_sweeps: int):
-                f = self._chunk_cache.get("chunk")
+                f = self._chunk_cache.get("sweep")
                 if f is None:
-                    f = jax.jit(jax.vmap(chunk, in_axes=(0, None, None)))
-                    self._chunk_cache["chunk"] = f
-                return f(mc, params, n_sweeps)
+                    f = jax.jit(jax.vmap(sweep, in_axes=(0, None)))
+                    self._chunk_cache["sweep"] = f
+                for _ in range(n_sweeps):
+                    mc = f(mc, params)
+                return mc
 
             self._run_chunk = run_chunk
 
