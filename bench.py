@@ -173,6 +173,10 @@ def main():
 
     from particlesmc_tpu.moves import base as MB
 
+    # BENCH_SMART=1 switches displacements to the force-bias policy
+    # (moves/base.displacement_smart) — atomic checkerboard pools only
+    smart_disp = os.environ.get("BENCH_SMART", "0") == "1" and not MOL
+    mk_disp = MB.displacement_smart if smart_disp else MB.displacement
     if MOL:
         pool = (
             MB.displacement(SIGMA, probability=0.9),
@@ -180,11 +184,11 @@ def main():
         )
     elif P_SWAP > 0:
         pool = (
-            MB.displacement(SIGMA, probability=1.0 - P_SWAP),
+            mk_disp(SIGMA, probability=1.0 - P_SWAP),
             MB.discrete_swap(0, 1, probability=P_SWAP),
         )
     else:
-        pool = (MB.displacement(SIGMA),)
+        pool = (mk_disp(SIGMA),)
     pool_params = MB.init_pool_params(pool, dtype)
 
     mode = MODE
@@ -223,6 +227,21 @@ def main():
     else:
         pool_label = "disp"
     if mode == "cb":
+        # per-substep candidate compaction (moves/checkerboard.py trim_k):
+        # OFF by default — measured a net LOSS on TPU v5e (see the
+        # "candidate compaction" subsection of docs/man/performance.md: all
+        # three compaction mechanisms serialize over the chain batch or
+        # out-cost the lanes they save). BENCH_TRIM=auto/int opts in.
+        trim_env = os.environ.get("BENCH_TRIM", "off")
+        cb_rcut_trim = T.interaction_range(table)
+        if trim_env == "auto":
+            trim_k = CB.auto_trim_k(
+                spec, __import__("numpy").asarray(st.box), cb_rcut_trim, N
+            )
+        elif trim_env in ("0", "off"):
+            trim_k = None
+        else:
+            trim_k = int(trim_env)
         hs = CB.build_hyper_sweep_fn(
             spec,
             table,
@@ -231,6 +250,7 @@ def main():
             sweeps=REBIN,
             pool=pool,
             max_bonds=max_bonds,
+            trim_k=trim_k,
         )
 
         @jax.jit
@@ -341,6 +361,33 @@ def main():
                 "(bucket overflow -> identity kernel; unbiased)",
                 file=sys.stderr,
             )
+    # --- VPU / HBM utilization (analytic roofline, VERDICT r4 item 3) ----
+    # The tunnelled `axon` runtime hangs on jax.profiler.start_trace, so the
+    # utilization numbers are computed from the kernel's known per-attempt
+    # work instead of a trace (cross-checked against the round-2 xprof
+    # observation that the ΔE fusions run at VPU peak; on a standard TPU
+    # runtime BENCH_TRACE_DIR + tools/parse_xplane.py gives the per-op
+    # table). Per attempted move the kernel evaluates `lanes` candidate
+    # lanes (cap live-center lanes + trim_k — or 26*cap untrimmed — static
+    # lanes) over two position passes at ~35 VPU ops/lane-pass (r² fma
+    # chain + branchless LJ + masking); the smart policy adds the
+    # pair_virial force evaluation (~15 ops) per lane-pass. HBM traffic per
+    # attempt is one read of the candidate planes (d+1 f32 planes) shared
+    # by both passes of a Gaussian sub-move (the fusion keeps them
+    # resident), twice that for smart (two separate passes).
+    vpu_util = hbm_util = None
+    if mode == "cb" and not MOL:
+        lanes = (trim_k if trim_k else 26 * spec.cap) + spec.cap
+        smart = any(mv.policy == "smart" for mv in pool)
+        ops_lane_pass = 50.0 if smart else 35.0
+        ops_per_attempt = 2.0 * lanes * ops_lane_pass
+        bytes_per_attempt = lanes * (DIM + 1) * 4.0 * (2.0 if smart else 1.0)
+        attempts_per_s = attempted / elapsed
+        vpu_peak = float(os.environ.get("BENCH_VPU_PEAK_TOPS", 3.9)) * 1e12
+        hbm_peak = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0)) * 1e9
+        vpu_util = attempts_per_s * ops_per_attempt / vpu_peak
+        hbm_util = attempts_per_s * bytes_per_attempt / hbm_peak
+
     # mixing metric: per-particle MSD per wall-second over the timed window
     # (min-image displacement; exact while per-window drift < box/2)
     box = np.asarray(st.box)
@@ -374,6 +421,15 @@ def main():
                 "p_swap": P_SWAP,
                 "overflow": overflow,
                 "skip_frac": round(skip_frac, 4),
+                **(
+                    {
+                        "vpu_util": round(vpu_util, 3),
+                        "hbm_util": round(hbm_util, 3),
+                        "trim_k": trim_k,
+                    }
+                    if vpu_util is not None
+                    else {}
+                ),
             }
         )
     )

@@ -97,8 +97,10 @@ def main():
         # 21% slower at cap=28 vs 32; worse at 49): round UP to x32, which
         # only adds masked lanes and cannot overflow earlier.
         cap32 = -(-spec.cap // 32) * 32
-        if n == 10_000:
-            cap32 = 32  # overflow-validated at the bench point (bench.py)
+        if (n, DENSITY, TEMPERATURE) == (10_000, 1.2, 1.0):
+            # overflow-validated at EXACTLY the bench state point (bench.py);
+            # other densities/temperatures keep the conservative auto cap
+            cap32 = 32
         spec = CB.CBSpec(ncells=spec.ncells, cap=cap32)
         per_chain = bytes_per_chain(n, spec, args.inner, args.rebin)
         chains = max(1, min(args.max_chains, int(args.budget_gb * 1e9 / per_chain)))

@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--equil-sweeps", type=int, default=192)
     ap.add_argument("--meas-sweeps", type=int, default=128,
                     help="hyper-sweeps per measurement (equal across cells)")
+    ap.add_argument("--smart", action="store_true",
+                    help="use the force-bias (SmartGaussian) displacement "
+                    "policy instead of SimpleGaussian")
     ap.add_argument("--cell-factor", type=float, default=1.0,
                     help="inflate the grid's rcut by this factor: bigger "
                     "cells cut the cell-exit auto-reject fraction at large "
@@ -91,14 +94,18 @@ def main():
     table = T.KobAndersen(jnp.float32)
     st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=jnp.float32)
     box = np.asarray(st.box)
+    # --cap is honored at any --cell-factor (a fat-cell grid with a user cap
+    # is a legitimate sweep point; the earlier silent cap=auto override when
+    # cell_factor != 1 produced a different cap than requested)
     spec = CB.make_cb_spec(
-        box, table.max_cutoff * args.cell_factor, n,
-        cap=(args.cap or None) if args.cell_factor == 1.0 else None,
+        box, table.max_cutoff * args.cell_factor, n, cap=(args.cap or None)
     )
     if spec is None:
         raise SystemExit("box too small for a checkerboard grid at this N")
     print(f"# grid {spec.ncells} cap={spec.cap}", file=sys.stderr)
-    pool = (MB.displacement(0.06),)
+    pool = (
+        (MB.displacement_smart(0.06),) if args.smart else (MB.displacement(0.06),)
+    )
 
     def build(rebin):
         hs = CB.build_hyper_sweep_fn(
@@ -159,6 +166,7 @@ def main():
             row = {
                 "sigma": sig,
                 "rebin": rebin,
+                "smart": bool(args.smart),
                 "inner": args.inner,
                 "cell_factor": args.cell_factor,
                 "cap": spec.cap,

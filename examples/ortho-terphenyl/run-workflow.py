@@ -270,7 +270,9 @@ def main():
             if args.densities else DENSITIES
         )
         if not (args.densities and os.path.exists(cfg)):
-            stage1_lattice(args.molecules, DENSITIES[0], cfg)
+            # a fresh lattice starts at the FIRST rung of whichever ladder
+            # runs (a custom --densities ladder may start above 0.2)
+            stage1_lattice(args.molecules, ladder[0], cfg)
         for rho in ladder:
             out = os.path.join(s1, f"rho-{rho}")
             run_cli(params_toml(cfg, 2.0, rho, args.dens_steps, out, parallel=use_parallel), out)

@@ -36,9 +36,13 @@ def _build_pool(move_cfgs, chains):
         if action == "Displacement":
             if "sigma" not in params:
                 raise ValueError("Missing parameter 'sigma' for action: Displacement")
-            if policy != "SimpleGaussian":
+            if policy == "SimpleGaussian":
+                pool.append(MB.displacement(params["sigma"], prob))
+            elif policy == "SmartGaussian":
+                # force-bias displacement (TPU extension, moves/base.py)
+                pool.append(MB.displacement_smart(params["sigma"], prob))
+            else:
                 raise ValueError(f"Unsupported policy: {policy} for action: {action}")
-            pool.append(MB.displacement(params["sigma"], prob))
         elif action == "DiscreteSwap":
             sp = params.get("species")
             if not sp or len(sp) != 2:

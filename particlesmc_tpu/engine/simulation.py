@@ -19,6 +19,7 @@ Output algorithms and their directory contract (SURVEY.md §5.5):
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
@@ -139,6 +140,27 @@ class Simulation:
             cell_spec = NB.make_spec(box0, chains.table.max_cutoff, n, cap)
             if cell_spec is None and verbose:
                 print("cell grid too small; falling back to dense candidates")
+        if chains.list_type == "verlet":
+            warnings.warn(
+                "VerletList maps to the bucketed cell implementation (no "
+                "skin variant exists; reference src/neighbours.jl:387-543). "
+                "Candidate generation and rebuild cadence follow the cell "
+                "path — set list_type 'CellList' to silence this.",
+                stacklevel=2,
+            )
+        if not self.parallel_moves and cell_spec is not None:
+            # the sequential kernel's cell-candidate path relies on
+            # vector-index gathers that SERIALIZE on TPU (~3 ms per ΔE,
+            # core/energy.py) — measured ~2000x slower than the
+            # checkerboard backend at N=10k (docs/man/performance.md)
+            warnings.warn(
+                f"sequential kernel at N={n} uses the serialising "
+                "cell-candidate path — expect ~single-digit sweeps/s on "
+                "TPU. Set parallel_moves = true (checkerboard backend, "
+                "~2000x faster at N=10k) unless this pool/geometry "
+                "requires the sequential kernel.",
+                stacklevel=2,
+            )
         self.config = K.KernelConfig(
             pool=self.pool,
             table=chains.table,
@@ -254,6 +276,19 @@ class Simulation:
                 )
             else:
                 cb_kwargs["max_bonds"] = max_bonds
+                # per-substep candidate compaction (checkerboard trim_k):
+                # OFF by default — measured net loss on TPU v5e (see
+                # docs/man/performance.md); list_parameters trim =
+                # "auto"/int opts in (the spatial backend runs untrimmed)
+                trim = chains.list_parameters.get("trim", False)
+                if trim in (False, 0, "0", "off", "false", None):
+                    trim_k = None
+                elif trim in (True, "auto", "true"):
+                    trim_k = CBK.auto_trim_k(cb_spec, box0, cb_rcut, n)
+                else:
+                    trim_k = int(trim)
+                cb_kwargs["trim_k"] = trim_k
+                cb_kwargs["trim_rcut"] = cb_rcut
 
             # one jitted block per distinct sweeps-per-rebin size; the
             # rebin (sort) is amortised over `rebin_every` sweeps per block
@@ -276,13 +311,15 @@ class Simulation:
                     hs_blocks[sweeps] = f
                 return f
 
-            # Chunks are dispatched as ONE jitted program whose block count
-            # is a DYNAMIC fori_loop bound, so every gap length in a
+            # Chunks dispatch ONE jitted fixed-size block (rebin_every
+            # sweeps) nb times from a host loop, so every gap length in a
             # schedule reuses the same compile. (Compiling per distinct gap
-            # length — the previous design — made log-spaced production
+            # length — the original design — made log-spaced production
             # schedules pay a full XLA compile for each of their ~2 log2(T)
-            # distinct gaps.) Only remainder blocks (n_sweeps % rebin_every)
-            # compile per distinct value, bounded by rebin_every.
+            # distinct gaps; a device-side dynamic trip count wedged the
+            # tunnelled TPU runtime — see the dispatch comment below.) Only
+            # remainder blocks (n_sweeps % rebin_every) compile per distinct
+            # value, bounded by rebin_every.
             def _wrap(g):
                 if spatial_mesh is not None:
                     # the sharded kernel is written for ONE (unbatched)
@@ -340,18 +377,43 @@ class Simulation:
 
             sweep = K.build_sweep_fn(self.config, n)
 
-            # one jitted sweep serves every gap length via a host loop (one
-            # compile total; see the checkerboard path above — a dynamic
-            # device-side trip count wedged the tunnelled TPU runtime, and
-            # per-sweep dispatch is negligible against per-sweep device
-            # time on every path that uses this kernel)
+            # Dispatch in fixed 16-sweep jitted blocks (a lax.scan inside
+            # one jit, state donated) host-looped over the gap, plus one
+            # single-sweep jit for the remainder — two compiles total serve
+            # every gap length, and a multi-thousand-sweep gap pays one
+            # dispatch + state round-trip per 16 sweeps instead of per
+            # sweep. (A device-side dynamic trip count wedged the tunnelled
+            # TPU runtime, hence host-side looping.)
+            SEQ_BLOCK = 16
+
             def run_chunk(mc, params, n_sweeps: int):
-                f = self._chunk_cache.get("sweep")
-                if f is None:
-                    f = jax.jit(jax.vmap(sweep, in_axes=(0, None)))
-                    self._chunk_cache["sweep"] = f
-                for _ in range(n_sweeps):
-                    mc = f(mc, params)
+                nb, rem = divmod(n_sweeps, SEQ_BLOCK)
+                if nb:
+                    f = self._chunk_cache.get("sweep_block")
+                    if f is None:
+                        vsweep = jax.vmap(sweep, in_axes=(0, None))
+
+                        def block(mc, params):
+                            return jax.lax.scan(
+                                lambda m, _: (vsweep(m, params), None),
+                                mc,
+                                None,
+                                length=SEQ_BLOCK,
+                            )[0]
+
+                        # no donation: the engine may hold the pre-chunk
+                        # state (checkpoint/event reads) after dispatch
+                        f = jax.jit(block)
+                        self._chunk_cache["sweep_block"] = f
+                    for _ in range(nb):
+                        mc = f(mc, params)
+                if rem:
+                    f1 = self._chunk_cache.get("sweep")
+                    if f1 is None:
+                        f1 = jax.jit(jax.vmap(sweep, in_axes=(0, None)))
+                        self._chunk_cache["sweep"] = f1
+                    for _ in range(rem):
+                        mc = f1(mc, params)
                 return mc
 
             self._run_chunk = run_chunk

@@ -137,34 +137,53 @@ def pair_potential(r2, p, kinds_present=None):
     return jnp.where(mask, u, jnp.zeros_like(u))
 
 
-def pair_virial(r2, p):
+def pair_virial(r2, p, kinds_present=None):
     """Pair virial w = -2 r^2 dU/dr^2 = r·f(r) for the non-bonded kinds.
 
     Feeds the pressure observable P = rho T + W/(d V), W = sum_{i<j} w_ij
     (an extension over the reference, whose docs advertise a pressure
     callback — docs/src/man/architecture.md — but whose code ships only
-    energy/chain_correlation). Shifts don't contribute (constant in r).
+    energy/chain_correlation), and the force-bias ("smart") displacement
+    drift: the force on particle a from a lane at separation dx = x_nb - x_a
+    is F_j = -(w / r^2) * dx_j. Shifts don't contribute (constant in r).
+    `kinds_present` prunes dead branches exactly as in pair_potential.
     """
     dt = r2.dtype if hasattr(r2, "dtype") else jnp.result_type(r2)
+    kp = (
+        (KIND_INVERSE_POWER, KIND_LENNARD_JONES, KIND_SMOOTH_LJ)
+        if kinds_present is None
+        else tuple(kinds_present)
+    )
     r2s = jnp.maximum(r2, jnp.asarray(1e-12, dt))
     x = p.sigma2 / r2s
     x3 = x * x * x
-    w_lj = p.eps4 * (12.0 * x3 * x3 - 6.0 * x3)
-    w_ipl = p.eps4 * p.ipl_n * _int_pow(jnp.sqrt(x), p.ipl_n)
-    w_smooth = w_lj - 2.0 * r2s * p.eps4 * (p.c2s2 + 2.0 * r2s * p.c4s4)
+    need_lj = KIND_LENNARD_JONES in kp or KIND_SMOOTH_LJ in kp
+    w_lj = p.eps4 * (12.0 * x3 * x3 - 6.0 * x3) if need_lj else None
 
-    kind = p.kind
-    w = jnp.where(
-        kind == KIND_INVERSE_POWER,
-        w_ipl,
-        jnp.where(
-            kind == KIND_LENNARD_JONES,
-            w_lj,
-            jnp.where(kind == KIND_SMOOTH_LJ, w_smooth, jnp.zeros_like(w_lj)),
-        ),
-    )
+    if kp == (KIND_LENNARD_JONES,):
+        w = w_lj
+    elif kp == (KIND_INVERSE_POWER,):
+        w = p.eps4 * p.ipl_n * _int_pow(jnp.sqrt(x), p.ipl_n)
+    elif kp == (KIND_SMOOTH_LJ,):
+        w = w_lj - 2.0 * r2s * p.eps4 * (p.c2s2 + 2.0 * r2s * p.c4s4)
+    else:
+        kind = p.kind
+        w = jnp.zeros_like(x3)
+        if KIND_SMOOTH_LJ in kp:
+            w_smooth = w_lj - 2.0 * r2s * p.eps4 * (p.c2s2 + 2.0 * r2s * p.c4s4)
+            w = jnp.where(kind == KIND_SMOOTH_LJ, w_smooth, w)
+        if KIND_LENNARD_JONES in kp:
+            w = jnp.where(kind == KIND_LENNARD_JONES, w_lj, w)
+        if KIND_INVERSE_POWER in kp:
+            w_ipl = p.eps4 * p.ipl_n * _int_pow(jnp.sqrt(x), p.ipl_n)
+            w = jnp.where(kind == KIND_INVERSE_POWER, w_ipl, w)
+
     in_range = r2 <= p.rcut2
-    return jnp.where(in_range & (kind != KIND_NONE), w, jnp.zeros_like(w))
+    if kinds_present is not None and KIND_NONE not in kp and len(kp) > 0:
+        mask = in_range
+    else:
+        mask = in_range & (p.kind != KIND_NONE)
+    return jnp.where(mask, w, jnp.zeros_like(w))
 
 
 def bond_virial(r2, p):

@@ -20,7 +20,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 
 VALID = {
-    "displacement": ("gaussian",),
+    "displacement": ("gaussian", "smart"),
     "swap": ("double_uniform", "energy_bias"),
     "flip": ("double_uniform",),
 }
@@ -49,6 +49,17 @@ class Move:
 
 def displacement(sigma: float, probability: float = 1.0) -> Move:
     return Move("displacement", "gaussian", probability, params=(("sigma", float(sigma)),))
+
+
+def displacement_smart(sigma: float, probability: float = 1.0) -> Move:
+    """Force-bias ("smart MC", Rossky-Doll-Friedman 1978) displacement:
+    delta = clamp(sigma^2/(2T) * F(x)) + sigma * xi with the exact
+    Metropolis-Hastings asymmetry correction. A TPU-native extension beyond
+    the reference's SimpleGaussian (src/moves.jl:105-123): the force comes
+    almost free from the candidate lanes the ΔE already touches, and buys
+    acceptance/mixing at dense-liquid state points. Checkerboard atomic
+    pools only."""
+    return Move("displacement", "smart", probability, params=(("sigma", float(sigma)),))
 
 
 def discrete_swap(

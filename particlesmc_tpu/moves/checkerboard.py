@@ -70,7 +70,12 @@ from flax import struct
 
 from ..core.geometry import fold_back
 from ..core.state import SystemState
-from ..models.potentials import bond_potential, pair_fields_needed, pair_potential
+from ..models.potentials import (
+    bond_potential,
+    pair_fields_needed,
+    pair_potential,
+    pair_virial,
+)
 from ..models.tables import PairTable, kinds_present
 
 
@@ -96,6 +101,46 @@ class CBSpec:
     @property
     def n_active(self) -> int:
         return int(np.prod(self.active_dims))
+
+
+def auto_trim_k(
+    spec: CBSpec, box, rcut: float, n: int, nsigma: float = 7.0,
+) -> Optional[int]:
+    """Lane capacity for the per-substep candidate compaction (`trim_k`).
+
+    A lane of the 26 static neighbour blocks can interact with a mover —
+    which stays inside the active cell for the whole substep — only if its
+    distance to the active cell's CUBE is <= rcut, i.e. it lies in the
+    cell cube dilated by rcut. The mean count in that region is
+    density * (V_dilated - V_cell); `nsigma` Poisson standard deviations of
+    headroom are added (a liquid's density fluctuations are sub-Poissonian,
+    so this is conservative) and the result is rounded up to the TPU's
+    128-lane tile. Returns None when compaction cannot beat the uncompacted
+    26*cap lane count (small grids)."""
+    box = np.asarray(box, np.float64)
+    side = box / np.asarray(spec.ncells, np.float64)
+    v_cell = float(np.prod(side))
+    d = spec.d
+    if d == 2:
+        s1, s2 = side
+        v_dil = s1 * s2 + 2.0 * rcut * (s1 + s2) + math.pi * rcut**2
+    elif d == 3:
+        s1, s2, s3 = side
+        v_dil = (
+            s1 * s2 * s3
+            + 2.0 * rcut * (s1 * s2 + s1 * s3 + s2 * s3)
+            + math.pi * rcut**2 * (s1 + s2 + s3)
+            + 4.0 / 3.0 * math.pi * rcut**3
+        )
+    else:
+        return None
+    density = n / float(np.prod(box))
+    mean = density * (v_dil - v_cell)
+    k = int(mean + nsigma * math.sqrt(max(mean, 1.0)) + 0.5)
+    k = max(128, -(-k // 128) * 128)
+    if k >= (3**d - 1) * spec.cap:
+        return None
+    return k
 
 
 def make_cb_spec(
@@ -435,6 +480,93 @@ def _disp_submove_atomic(
     return center_pos, jnp.sum(booked), accept
 
 
+def _disp_submove_smart(
+    kp, pf, rows_c, rows_o, center_pos, center_sp, pos_o, valid_o,
+    pick, xi, sigma, bounds_fn, occupied, log_ua, temperature,
+    drift_clip_sigmas: float = 2.0,
+):
+    """One force-bias ("smart MC") displacement sub-move.
+
+    Proposal: delta = D(x_old) + sigma * xi with drift
+    D(x) = clamp(sigma^2 / (2 T) * F(x), +-drift_clip_sigmas * sigma) per
+    component, F the force on the mover from every candidate lane
+    (Rossky-Doll-Friedman 1978; the clamp bounds the drift at overlapping
+    starts and is part of the proposal definition, so MH stays exact).
+    Acceptance: log a = -dE/T + [|delta - D(x_old)|^2 - |delta + D(x_new)|^2]
+    / (2 sigma^2) — the exact asymmetry correction with the reverse drift
+    evaluated at the proposed position. The force costs one pair_virial per
+    lane on passes the ΔE already makes, reusing the dx registers.
+
+    In-cell truncation composes exactly as for the symmetric proposal: a
+    proposed exit is a rejection; both q factors are the unconstrained
+    Gaussians, so pi(x) q(x->y) a(x->y) stays symmetric on in-cell pairs.
+
+    Returns (center_pos', booked_energy_sum, accept [A])."""
+    d = len(center_pos)
+    dt = center_pos[0].dtype
+    tiny = jnp.asarray(1e-12, dt)
+    x_a = [
+        jnp.sum(jnp.where(pick, center_pos[j], 0.0), axis=-1) for j in range(d)
+    ]
+    s_a = jnp.sum(jnp.where(pick, center_sp, 0.0), axis=-1)
+    groups = (
+        (center_pos, rows_c, (center_sp >= 0) & ~pick),
+        (pos_o, rows_o, valid_o),
+    )
+
+    def energy_and_force(x):
+        e = jnp.zeros(x[0].shape, dt)
+        f = [jnp.zeros(x[0].shape, dt) for _ in range(d)]
+        for pos_nb, rows_nb, valid in groups:
+            p = _select_row(rows_nb, s_a[:, None], pf)
+            dx = []
+            r2 = jnp.zeros(valid.shape, dt)
+            for j in range(d):
+                dj = pos_nb[j] - x[j][:, None]
+                dx.append(dj)
+                r2 = r2 + dj * dj
+            u = pair_potential(r2, p, kp)
+            w = pair_virial(r2, p, kp)
+            g = -w / jnp.maximum(r2, tiny)  # F_j = g * dx_j
+            e = e + jnp.sum(jnp.where(valid, u, jnp.zeros_like(u)), axis=-1)
+            for j in range(d):
+                f[j] = f[j] + jnp.sum(
+                    jnp.where(valid, g * dx[j], jnp.zeros_like(r2)), axis=-1
+                )
+        return e, f
+
+    sig2_2t = sigma * sigma / (2.0 * temperature)
+    clip = drift_clip_sigmas * sigma
+
+    def drift(f):
+        return [jnp.clip(sig2_2t * f[j], -clip, clip) for j in range(d)]
+
+    e_old, f_old = energy_and_force(x_a)
+    d_old = drift(f_old)
+    delta = [d_old[j] + sigma * xi[j] for j in range(d)]
+    x_new = [x_a[j] + delta[j] for j in range(d)]
+    in_cell = occupied & bounds_fn(x_new)
+    e_new, f_new = energy_and_force(x_new)
+    d_new = drift(f_new)
+    de = e_new - e_old
+    lq = jnp.zeros_like(de)
+    for j in range(d):
+        fwd = delta[j] - d_old[j]  # = sigma * xi_j
+        rev = delta[j] + d_new[j]
+        lq = lq + (fwd * fwd - rev * rev)
+    log_alpha = -de / temperature + lq / (2.0 * sigma * sigma)
+    log_alpha = jnp.where(
+        jnp.isnan(log_alpha), jnp.asarray(-jnp.inf, dt), log_alpha
+    )
+    accept = (log_ua < log_alpha) & in_cell
+    booked = jnp.where(accept & jnp.isfinite(de), de, jnp.zeros_like(de))
+    moved = pick & accept[:, None]
+    center_pos = [
+        jnp.where(moved, x_new[j][:, None], center_pos[j]) for j in range(d)
+    ]
+    return center_pos, jnp.sum(booked), accept
+
+
 def _swap_pair_de(
     table, kp, pf, s1, s2, center_pos, center_sp, pos_o, valid_o,
     p_o_1, p_o_2, pick_i, pick_j,
@@ -717,6 +849,8 @@ def build_hyper_sweep_fn(
     max_bonds: int = 0,
     use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
+    trim_k: Optional[int] = None,
+    trim_rcut: Optional[float] = None,
 ):
     """Returns the hyper-sweep kernel: one rebin followed by `sweeps`
     hyper-sweeps of ~sweepstep attempted moves each (default n), then one
@@ -785,7 +919,46 @@ def build_hyper_sweep_fn(
 
     (A hand-written pallas ΔE kernel was benchmarked against this XLA path
     on a TPU v5e in round 2 and lost 6x — 516 vs 3008 sweeps/s at N=10k —
-    so the XLA-fused evaluation is the only implementation.)"""
+    so the XLA-fused evaluation is the only implementation.)
+
+    `trim_k` enables PER-SUBSTEP CANDIDATE COMPACTION: the 26 static
+    neighbour blocks hold (3^d - 1) * cap lanes per active cell (864 at the
+    N=10k bench point) of which only ~45% can possibly interact with the
+    mover — a lane matters only if its distance to the active cell's CUBE
+    is <= rcut (the mover never leaves the cube within a substep, and the
+    pair potential is exactly 0 beyond rcut). Once per color substep those
+    lanes are compacted to a 128-aligned buffer of `trim_k` lanes (stable
+    sort of the in-range key + monotone take_along_axis — measured ~26 us,
+    amortised over the `inner` sub-moves that then each touch trim_k + cap
+    instead of 27*cap lanes). EXACTNESS: dropped lanes contribute 0 to
+    every ΔE, every member energy (EnergyBias), and every bond term (for
+    molecular pools size trim_rcut = tables.interaction_range, which bounds
+    the FENE bond reach, so a bonded partner is never dropped); only
+    floating-point summation order changes. VALIDITY of the overflow path:
+    if more than trim_k lanes are in range for some active cell, that
+    SUBSTEP alone becomes the identity kernel (proposals auto-reject,
+    attempts not booked, `skipped` incremented). The in-range count for a
+    color's active cells depends only on particles OUTSIDE those cells
+    (another active cell is >= one full cell side > rcut away from the
+    cube), so the condition is invariant under the substep's own moves —
+    the same apply-if-valid-else-identity argument as skip-on-overflow.
+    `trim_rcut` defaults to tables.interaction_range(table) (== max_cutoff
+    for bond-free tables). Size trim_k with auto_trim_k. Incompatible with
+    use_pallas (the pallas substep packs the untrimmed lane layout).
+
+    trim is OFF by default: MEASURED NET LOSS on TPU v5e at the N=10k bench
+    point despite cutting lanes 864 -> 544. Every mechanism for the
+    per-substep data movement loses to the ~6 ms/substep of arithmetic it
+    saves (256 chains): a vmapped flat scatter and a vmapped
+    take_along_axis both SERIALIZE over the chain batch (~1 ms/chain/
+    substep); the value-carrying lax.sort used here is the best of the
+    three but still costs ~45 ms/substep at [chains*A, 832] (sorting is
+    O(L log^2 L) per lane) and inflates XLA compile 3-4x (204 s vs 67 s).
+    A one-hot-matmul compaction would need a [A, L, K] operand that
+    materializes at chain-batch scale (tens of GB). The kept implementation
+    documents the experiment and remains available (and correct) for
+    future hardware/compilers where batched permutation is cheap; see
+    docs/man/performance.md for the full cost accounting."""
     d = spec.d
     A_dims = spec.active_dims
     A = spec.n_active
@@ -811,7 +984,10 @@ def build_hyper_sweep_fn(
     n_moves = len(pool)
     molecular = max_bonds > 0
     for mv in pool:
-        ok = mv.action == "displacement" or (
+        ok = (
+            mv.action == "displacement"
+            and (mv.policy != "smart" or not molecular)
+        ) or (
             mv.action == "swap"
             and mv.policy in ("double_uniform", "energy_bias")
             and not molecular
@@ -827,6 +1003,16 @@ def build_hyper_sweep_fn(
     species_live = has_swap or has_flip  # species planes mutate in-substep
     schedule = _slot_schedule(pool, C, inner)
 
+    if trim_k is not None:
+        from ..models.tables import interaction_range as _irange
+
+        trim_k = int(trim_k)
+        if trim_rcut is None:
+            trim_rcut = _irange(table)
+        trim_r2 = float(trim_rcut) ** 2
+        if trim_k >= ((3**d) - 1) * cap:
+            trim_k = None  # cannot beat the uncompacted lane count
+
     # Pallas substep (moves/cb_pallas.py): the whole inner loop of a
     # displacement substep in one VMEM-resident kernel. Built to remove the
     # HBM re-reads of the static neighbour planes (xprof: the XLA path's ΔE
@@ -838,12 +1024,14 @@ def build_hyper_sweep_fn(
     # OFF by default as the documented outcome of that experiment (exact
     # algorithm parity is pinned by tests/test_cb_pallas.py);
     # PMC_CB_PALLAS=1 or use_pallas=True opts in.
-    all_disp = all(mv.action == "displacement" for mv in pool)
+    all_disp = all(
+        mv.action == "displacement" and mv.policy == "gaussian" for mv in pool
+    )
     if use_pallas is None:
         import os as _os
 
         use_pallas = _os.environ.get("PMC_CB_PALLAS") == "1"
-    pallas_on = bool(use_pallas) and all_disp and not molecular
+    pallas_on = bool(use_pallas) and all_disp and not molecular and trim_k is None
     pallas_substep = None
     if pallas_on:
         from .cb_pallas import build_disp_substep
@@ -983,6 +1171,51 @@ def build_hyper_sweep_fn(
             pos_o = others[:d]
             sp_o = others[d]
             valid_o = sp_o >= 0
+            oth_id = others[P_ID] if molecular else None
+            coords = jnp.asarray(base_coords + np.asarray(c), jnp.int32)  # [A, d]
+            ok_sub = None
+            if trim_k is not None:
+                # --- per-substep candidate compaction (see build docstring):
+                # keep only lanes within trim_rcut of the active cell's cube
+                # (shifted frame; halos image-corrected, so plain coords)
+                side_v = box / jnp.asarray(spec.ncells, dt)
+                lo_c = coords.astype(dt) * side_v[None, :]  # [A, d]
+                d2c = jnp.zeros(sp_o.shape, dt)
+                for j in range(d):
+                    lo_j = lo_c[:, j][:, None]
+                    over = jnp.maximum(
+                        jnp.maximum(lo_j - pos_o[j], pos_o[j] - (lo_j + side_v[j])),
+                        jnp.zeros_like(pos_o[j]),
+                    )
+                    d2c = d2c + over * over
+                inr = valid_o & (d2c <= jnp.asarray(trim_r2, dt))
+                count = jnp.sum(inr.astype(jnp.int32), axis=-1)
+                ok_sub = ~jnp.any(count > trim_k)
+                # Compaction by VALUE-CARRYING stable sort: in-range lanes
+                # (key 0) move to the front in original order with their
+                # payload riding as sort operands, then a static slice keeps
+                # the first trim_k lanes. This is the one formulation that
+                # stays fast under vmap on TPU — both a batched scatter and
+                # a batched take_along_axis were measured to SERIALIZE over
+                # the chain batch (~1 ms/chain/substep), while multi-operand
+                # lax.sort lowers as a genuinely batched op (the same reason
+                # rebin sorts instead of gathering).
+                key_out = jnp.where(inr, 0, 1).astype(jnp.int32)
+                ops = [pos_o[j] for j in range(d)] + [
+                    jnp.where(inr, sp_o, jnp.asarray(-1.0, dt))
+                ]
+                if molecular:
+                    ops.append(jnp.where(inr, oth_id, jnp.asarray(-1.0, dt)))
+                sorted_ops = jax.lax.sort(
+                    tuple([key_out] + ops),
+                    dimension=-1, num_keys=1, is_stable=True,
+                )
+                sl_k = (Ellipsis, slice(0, trim_k))
+                pos_o = jnp.stack([sorted_ops[1 + j][sl_k] for j in range(d)])
+                sp_o = sorted_ops[1 + d][sl_k]
+                valid_o = sp_o >= 0
+                if molecular:
+                    oth_id = sorted_ops[2 + d][sl_k]
             sp_o_safe = jnp.maximum(sp_o, 0.0)
             if molecular:
                 # static molecular planes (ids/bonds/molecule layout never
@@ -990,7 +1223,6 @@ def build_hyper_sweep_fn(
                 center_id = center[P_ID]
                 center_bnd = [center[P_B0 + b] for b in range(max_bonds)]
                 center_ms, center_ml = center[P_MS], center[P_ML]
-                oth_id = others[P_ID]
 
                 def bond_excl(ids_nb, partners):
                     """Mask of lanes that are bonded partners of the mover
@@ -1053,7 +1285,15 @@ def build_hyper_sweep_fn(
             # displacements are confined to their cell
             occ = jnp.sum((center_sp >= 0).astype(jnp.int32), axis=-1)  # [A]
             occupied = occ > 0
-            coords = jnp.asarray(base_coords + np.asarray(c), jnp.int32)  # [A, d]
+            if ok_sub is not None:
+                # trim overflow -> this substep is the identity kernel:
+                # every acceptance uniform becomes +inf (log +inf is never
+                # below any log-alpha) and attempts are not booked
+                occupied = occupied & ok_sub
+                rnd_c = dict(
+                    rnd_c,
+                    ua=jnp.where(ok_sub, rnd_c["ua"], jnp.asarray(jnp.inf, dt)),
+                )
 
             if pallas_substep is not None:
                 # ---- VMEM-resident inner loop (moves/cb_pallas.py) ----------
@@ -1080,7 +1320,9 @@ def build_hyper_sweep_fn(
                     for i in slots_m[1:]:
                         acc_m = acc_m + acc_k[i]
                     acc = acc.at[m].add(acc_m.astype(acc.dtype))
-                return _write_back(padded, center_pos, center_sp, energy, att, acc)
+                return _write_back(
+                    padded, center_pos, center_sp, energy, att, acc
+                ) + (jnp.zeros((), cb.skipped.dtype),)
 
             slots_here = set(int(m) for m in col_sched)
             any_disp = any(pool[m].action == "displacement" for m in slots_here)
@@ -1128,12 +1370,22 @@ def build_hyper_sweep_fn(
                         jnp.int32
                     )
                     pick = slot_iota[None, :] == r[:, None]  # [A, cap]
-                    delta = [sigmas[m] * rnd_c["dl"][kin, j] for j in range(d)]
-                    center_pos, booked_sum, accept = _disp_submove_atomic(
-                        kp, pf, rows_c, rows_o, center_pos, center_sp,
-                        pos_o, valid_o, pick, delta, grid_bounds, occupied,
-                        jnp.log(rnd_c["ua"][kin]), temperature,
-                    )
+                    if mv.policy == "smart":
+                        xi = [rnd_c["dl"][kin, j] for j in range(d)]
+                        center_pos, booked_sum, accept = _disp_submove_smart(
+                            kp, pf, rows_c, rows_o, center_pos, center_sp,
+                            pos_o, valid_o, pick, xi, sigmas[m], grid_bounds,
+                            occupied, jnp.log(rnd_c["ua"][kin]), temperature,
+                        )
+                    else:
+                        delta = [
+                            sigmas[m] * rnd_c["dl"][kin, j] for j in range(d)
+                        ]
+                        center_pos, booked_sum, accept = _disp_submove_atomic(
+                            kp, pf, rows_c, rows_o, center_pos, center_sp,
+                            pos_o, valid_o, pick, delta, grid_bounds, occupied,
+                            jnp.log(rnd_c["ua"][kin]), temperature,
+                        )
                     energy = energy + booked_sum
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
@@ -1350,22 +1602,30 @@ def build_hyper_sweep_fn(
                     att = att.at[m].add(jnp.sum(occupied.astype(att.dtype)))
                     acc = acc.at[m].add(jnp.sum(accept.astype(acc.dtype)))
 
-            return _write_back(padded, center_pos, center_sp, energy, att, acc)
+            out = _write_back(padded, center_pos, center_sp, energy, att, acc)
+            skip_inc = (
+                jnp.zeros((), cb.skipped.dtype)
+                if ok_sub is None
+                else (~ok_sub).astype(cb.skipped.dtype)
+            )
+            return out + (skip_inc,)
 
         def round_body(carry, rnd_r):
-            padded, energy, att, acc = carry
+            padded, energy, att, acc, skp = carry
             for ci in range(C):  # static unroll over 2^d colors
                 rnd_c = {k: v[ci] for k, v in rnd_r.items()}
-                padded, energy, att, acc = color_substep(
+                padded, energy, att, acc, dskp = color_substep(
                     padded, energy, att, acc, ci, rnd_c
                 )
-            return (padded, energy, att, acc), None
+                skp = skp + dskp
+            return (padded, energy, att, acc, skp), None
 
         att0 = jnp.zeros((n_moves,), cb.attempted.dtype)
         acc0 = jnp.zeros((n_moves,), cb.accepted.dtype)
-        (padded, energy, att, acc), _ = jax.lax.scan(
+        skp0 = jnp.zeros((), cb.skipped.dtype)
+        (padded, energy, att, acc, skp), _ = jax.lax.scan(
             round_body,
-            (padded0, cb.system.energy, att0, acc0),
+            (padded0, cb.system.energy, att0, acc0, skp0),
             rnd,
         )
 
@@ -1410,7 +1670,12 @@ def build_hyper_sweep_fn(
             attempted=cb.attempted + jnp.where(ok, att, zero_att),
             accepted=cb.accepted + jnp.where(ok, acc, zero_att),
             overflow=cb.overflow | ovf,
-            skipped=cb.skipped + ovf.astype(cb.skipped.dtype),
+            # skip events: 1 per rebin-overflow call (whole block identity)
+            # + 1 per trim-overflow substep (that substep identity) — the
+            # substep skips only count when the call itself applied
+            skipped=cb.skipped
+            + ovf.astype(cb.skipped.dtype)
+            + jnp.where(ok, skp, jnp.zeros_like(skp)),
         )
 
     if legacy:

@@ -326,6 +326,11 @@ def make_proposal_fns(config: KernelConfig, n: int):
     fns = []
     for mv in config.pool:
         if mv.action == "displacement":
+            if mv.policy == "smart":
+                raise ValueError(
+                    "SmartGaussian (force-bias) displacement runs on the "
+                    "checkerboard backend only — set parallel_moves=true"
+                )
             fns.append(partial(_propose_displacement, cand_fn=cand_fn))
         elif mv.action == "swap" and mv.policy == "double_uniform":
             s1, s2 = mv.species
