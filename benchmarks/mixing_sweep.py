@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--equil-sweeps", type=int, default=192)
     ap.add_argument("--meas-sweeps", type=int, default=128,
                     help="hyper-sweeps per measurement (equal across cells)")
+    ap.add_argument("--temperature", type=float, default=TEMPERATURE,
+                    help="state-point temperature (default 1.0 = the bench "
+                    "point; 0.45 = the classic Kob-Andersen supercooled "
+                    "point)")
     ap.add_argument("--smart", action="store_true",
                     help="use the force-bias (SmartGaussian) displacement "
                     "policy instead of SimpleGaussian")
@@ -92,7 +96,7 @@ def main():
     n, chains = args.n, args.chains
     pos, species = lattice_config(n)
     table = T.KobAndersen(jnp.float32)
-    st = make_system(pos, species, DENSITY, TEMPERATURE, dtype=jnp.float32)
+    st = make_system(pos, species, DENSITY, args.temperature, dtype=jnp.float32)
     box = np.asarray(st.box)
     # --cap is honored at any --cell-factor (a fat-cell grid with a user cap
     # is a legitimate sweep point; the earlier silent cap=auto override when
@@ -166,6 +170,7 @@ def main():
             row = {
                 "sigma": sig,
                 "rebin": rebin,
+                "temperature": args.temperature,
                 "smart": bool(args.smart),
                 "inner": args.inner,
                 "cell_factor": args.cell_factor,

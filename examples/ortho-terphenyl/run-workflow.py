@@ -106,8 +106,25 @@ def stage1_lattice(m: int, density: float, path: str) -> None:
             f.write(f"{A} {A + 1}\n{A + 1} {A + 2}\n{A} {A + 2}\n")
 
 
+def rex_ladder(temperatures, rungs=32):
+    """Temperature ladder for replica-exchange equilibration: geometric in
+    beta between the warmest and coldest requested T (uniform swap
+    acceptance when the energy fluctuation scale ~ T), with every requested
+    temperature snapped onto its nearest rung so production can restart
+    from an exact-T slot. Returns the DESCENDING-T ladder."""
+    t_hi, t_lo = max(temperatures), min(temperatures)
+    if t_hi == t_lo:
+        return [float(t_hi)]
+    b = np.geomspace(1.0 / t_hi, 1.0 / t_lo, rungs)
+    ladder = 1.0 / b  # descending T
+    for T in temperatures:
+        ladder[int(np.argmin(np.abs(ladder - T)))] = T
+    return [float(t) for t in ladder]
+
+
 def params_toml(cfg, T, density, steps, out, traj_interval=None, flip=True,
-                nsim=1, traj_log=False, sigma=0.06, parallel=True):
+                nsim=1, traj_log=False, sigma=0.06, parallel=True,
+                rex_interval=None):
     moves = """
 [[simulation.move]]
 action = "Displacement"
@@ -147,10 +164,22 @@ fmt = "EXYZ"
         if traj_interval
         else ""
     )
+    if rex_interval:
+        # replica-exchange equilibration: T is a LADDER (one chain slot per
+        # rung, configurations swap between slots — engine/tempering.py)
+        t_str = "[" + ", ".join(str(float(t)) for t in T) + "]"
+        rex = f"""
+[[simulation.output]]
+algorithm = "ReplicaExchange"
+scheduler_params = {{linear_interval = {rex_interval}}}
+"""
+    else:
+        t_str = str(T)
+        rex = ""
     return f"""
 [system]
 config = "{cfg}"
-temperature = {T}
+temperature = {t_str}
 density = {density}
 list_type = "LinkedList"
 # 32-aligned bucket cap: the auto molecular cap (occ_factor 4 -> 24 at the
@@ -177,7 +206,7 @@ output_path = "{out}"
 algorithm = "StoreCallbacks"
 callbacks = ["energy"]
 scheduler_params = {{linear_interval = {max(1, steps // 20) // 16 * 16 or max(1, steps // 20)}}}
-{traj}
+{rex}{traj}
 [[simulation.output]]
 algorithm = "StoreLastFrames"
 scheduler_params = {{linear_interval = {steps}}}
@@ -228,8 +257,12 @@ def main():
         default="1234",
         help="which stages to run (e.g. '1' to densify only, '234' to "
         "resume from an existing stage-1 workdir — lets the cheap "
-        "densification run on CPU while the TPU is busy)",
+        "densification run on CPU while the TPU is busy). 'R' runs the "
+        "replica-exchange equilibration ladder instead of (or after) the "
+        "independent per-T stage 2 — e.g. '1R34'.",
     )
+    ap.add_argument("--rex-rungs", type=int, default=32,
+                    help="ladder size for stage R (rex_ladder)")
     ap.add_argument(
         "--out",
         default=None,
@@ -289,6 +322,39 @@ def main():
             out = os.path.join(wd, "2-equilibrate", str(T))
             run_cli(params_toml(cfg, T, 1.2, args.equil_steps, out, parallel=use_parallel), out)
             print(f"[stage 2] T={T} equilibrated", flush=True)
+
+    # ---- stage R: replica-exchange equilibration across a ladder ----------
+    # Alternative to stage 2 for deep supercooling: one run holds a
+    # beta-geometric temperature ladder (rex_ladder) with the requested
+    # temperatures snapped onto rungs; engine/tempering.py swaps
+    # configurations between neighbouring rungs so cold replicas keep
+    # escaping via hot ones. Production then restarts from each requested
+    # rung's lastframe with PLAIN dynamics (F_s under swap events would mix
+    # teleports into the correlation functions).
+    rex_out = os.path.join(wd, "2-rex-equilibrate")
+    if "R" in args.stages:
+        ladder = rex_ladder(args.temperatures, rungs=args.rex_rungs)
+        print(f"[stage R] {len(ladder)} rungs: {ladder[0]:.3g} .. "
+              f"{ladder[-1]:.3g}", flush=True)
+        run_cli(
+            params_toml(cfg, ladder, 1.2, args.equil_steps, rex_out,
+                        parallel=use_parallel, rex_interval=16),
+            rex_out,
+        )
+        acc_path = os.path.join(rex_out, "tempering_acceptance.dat")
+        if os.path.exists(acc_path):
+            rows = np.loadtxt(acc_path, ndmin=2)
+            print(f"[stage R] ladder swap acceptance (final): "
+                  f"{rows[-1, -1]:.3f}", flush=True)
+    if "R" in args.stages or (
+        os.path.isdir(rex_out) and "2" not in args.stages
+    ):
+        ladder = rex_ladder(args.temperatures, rungs=args.rex_rungs)
+        for T in args.temperatures:
+            slot = ladder.index(float(T)) + 1
+            lastframes[T] = os.path.join(
+                rex_out, "chains", str(slot), "lastframe.xyz"
+            )
 
     # ---- stage 3: production with log-spaced trajectories -----------------
     trajs = {

@@ -162,6 +162,24 @@ def load_chains(
         for X, b in zip(positions, boxes)
     ]
 
+    # Temperature LADDER from one configuration: a vector temperature with a
+    # single config replicates the frame across the ladder — the
+    # parallel-tempering entry point (the reference accepts a temperature
+    # vector, src/IO/IO.jl:263-271; chain k keeps temperature T_k while
+    # ReplicaExchange swaps configurations between slots). With nsim, each
+    # rung is subsequently cloned nsim times.
+    if len(temps) > 1 and len(positions) == 1:
+        positions = positions * len(temps)
+        species = species * len(temps)
+        densities = densities * len(temps)
+        configs = configs * len(temps)
+    if len(temps) != len(positions):
+        raise ValueError(
+            f"temperature vector length {len(temps)} does not match the "
+            f"{len(positions)} chains (pass one T, a length-matched vector, "
+            "or a vector with a single configuration)"
+        )
+
     # nsim replica cloning (reference src/IO/IO.jl:287-294)
     nsim = int(args.get("nsim") or 1)
     if nsim > 1:

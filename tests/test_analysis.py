@@ -17,8 +17,10 @@ from particlesmc_tpu.models import tables as T
 from particlesmc_tpu.moves import base as MB
 from particlesmc_tpu.moves import checkerboard as CB
 from particlesmc_tpu.moves import kernel as K
+import pytest
 
 
+@pytest.mark.slow
 def test_gr_ideal_gas_is_flat():
     rng = np.random.default_rng(0)
     box = np.array([12.0, 12.0, 12.0])
@@ -70,6 +72,7 @@ def test_msd_unwraps_folded_boundary_crossings():
     assert abs(mean_squared_displacement(folded)[-1] - msd_truth[-1]) > 0.5 * msd_truth[-1]
 
 
+@pytest.mark.slow
 def test_gr_parity_checkerboard_vs_sequential():
     """BASELINE correctness gate: pair-correlation distributions agree within
     MC error between the two sampling kernels."""

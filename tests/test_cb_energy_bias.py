@@ -19,6 +19,10 @@ from particlesmc_tpu.models import tables as T
 from particlesmc_tpu.moves import base as MB
 from particlesmc_tpu.moves import checkerboard as CB
 from particlesmc_tpu.moves.checkerboard import _softmax_pick
+import pytest
+
+# statistical/parity long-runners: fast tier skips this module
+pytestmark = pytest.mark.slow
 
 
 def _system(n_side=16, seed=3, temperature=0.7):

@@ -62,6 +62,7 @@ def test_interaction_range_includes_bonds():
     assert T.interaction_range(ka) == pytest.approx(ka.max_cutoff)
 
 
+@pytest.mark.slow
 def test_molecular_incremental_energy_matches_oracle():
     """disp+flip hyper-sweeps: booked energy equals a fresh dense molecular
     recomputation (bond exclusion + FENE deltas + flip species edits), and
@@ -104,6 +105,7 @@ def test_molecular_incremental_energy_matches_oracle():
     np.testing.assert_array_equal(sp, np.tile([0, 1, 2], sp.shape[0]).reshape(-1, 3))
 
 
+@pytest.mark.slow
 def test_molecular_statistical_agreement_with_sequential():
     """Checkerboard disp+flip samples the same equilibrium mean energy as the
     sequential kernel on the trimer melt (same target, different proposal
@@ -158,6 +160,7 @@ def test_molecular_statistical_agreement_with_sequential():
     assert abs(m_cb - m_seq) < 6 * max(s, 2e-3), (m_cb, m_seq, s)
 
 
+@pytest.mark.slow
 def test_engine_molecular_parallel_moves(tmp_path):
     """Simulation with parallel_moves=true on a molecular system: runs end to
     end, books finite energies, writes the reference directory contract."""

@@ -17,6 +17,10 @@ from particlesmc_tpu.moves import base as MB
 from particlesmc_tpu.moves import checkerboard as CB
 
 from .test_checkerboard import _lattice_system
+import pytest
+
+# statistical/parity long-runners: fast tier skips this module
+pytestmark = pytest.mark.slow
 
 
 def _setup(n=1300, d=3, density=1.2, temperature=1.0):

@@ -19,6 +19,10 @@ from particlesmc_tpu.core.state import make_system
 from particlesmc_tpu.models import tables as T
 from particlesmc_tpu.moves import base as MB
 from particlesmc_tpu.moves import checkerboard as CB
+import pytest
+
+# statistical/parity long-runners: fast tier skips this module
+pytestmark = pytest.mark.slow
 
 jax.config.update("jax_enable_x64", True)
 

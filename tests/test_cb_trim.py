@@ -18,6 +18,9 @@ from particlesmc_tpu.models import tables as T
 from particlesmc_tpu.moves import base as MB
 from particlesmc_tpu.moves import checkerboard as CB
 
+# statistical/parity long-runners: fast tier skips this module
+pytestmark = pytest.mark.slow
+
 jax.config.update("jax_enable_x64", True)
 
 

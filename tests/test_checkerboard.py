@@ -38,6 +38,7 @@ def test_spec_too_small_returns_none():
     assert CB.make_cb_spec(np.full(3, 5.0), 2.5, 100) is None
 
 
+@pytest.mark.slow
 def test_incremental_energy_matches_oracle():
     """After hyper-sweeps, the incrementally booked energy equals a fresh
     dense recomputation — pins ΔE, masking, self-exclusion, and scatters."""
@@ -75,6 +76,7 @@ def test_incremental_energy_matches_oracle():
     np.testing.assert_array_equal(ids, np.arange(n))
 
 
+@pytest.mark.slow
 def test_mixed_pool_incremental_energy_and_composition():
     """disp+swap pool: booked energy equals a fresh dense recomputation,
     species composition is exactly conserved, and both moves fire with the
@@ -115,6 +117,7 @@ def test_mixed_pool_incremental_energy_and_composition():
     np.testing.assert_allclose(e_inc, e_ref, rtol=1e-9, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_mixed_pool_statistical_agreement_with_sequential():
     """disp+swap checkerboard samples the same equilibrium mean energy as the
     sequential disp+swap kernel. Mirrors the reference's signature swap
@@ -176,6 +179,7 @@ def test_mixed_pool_statistical_agreement_with_sequential():
     assert abs(m_cb - m_seq) < 6 * max(s, 1e-3), (m_cb, m_seq, s)
 
 
+@pytest.mark.slow
 def test_statistical_agreement_with_sequential_kernel():
     """Same equilibrium mean energy as the sequential Metropolis kernel
     (2D JBB so the box fits a checkerboard grid at small N)."""
@@ -222,6 +226,7 @@ def test_statistical_agreement_with_sequential_kernel():
     assert abs(m_cb - m_seq) < 6 * max(s, 1e-3), (m_cb, m_seq, s)
 
 
+@pytest.mark.slow
 def test_skip_on_overflow_identity_and_ledger():
     """Overflowing rebin blocks act as the identity kernel (unbiased
     skip-on-overflow): with an absurdly small cap every call is a no-op;

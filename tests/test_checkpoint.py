@@ -12,6 +12,7 @@ from particlesmc_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from particlesmc_tpu.models import tables as T
 from particlesmc_tpu.moves import base as MB
 from particlesmc_tpu.moves import kernel as K
+import pytest
 
 
 def _batch(m=2, n=32, seed=0):
@@ -69,6 +70,7 @@ def test_checkpoint_exact_resume(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_checkerboard_exact_resume(tmp_path):
     """Exact resume for the checkerboard backend: same color stream + key
     state -> bitwise-identical trajectories after reload."""

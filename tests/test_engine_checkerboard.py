@@ -38,6 +38,7 @@ def _chains(n=140, m=3, d=2, density=1.1920748468939728, temp=0.8, seed=4,
     return Chains(states=batched, table=table, list_type="dense", n_chains=m)
 
 
+@pytest.mark.slow
 def test_parallel_moves_simulation(tmp_path):
     chains = _chains()
     pool = (MB.displacement(0.1),)
@@ -73,6 +74,7 @@ def test_parallel_moves_simulation(tmp_path):
         np.testing.assert_allclose(float(st.energy), e_ref, rtol=1e-9, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_parallel_moves_mixed_pool_simulation(tmp_path):
     """disp+swap pool on the checkerboard backend end-to-end: per-move
     acceptance files, conserved composition, exact energy bookkeeping
@@ -135,6 +137,7 @@ def test_parallel_moves_rejects_unsupported():
         )
 
 
+@pytest.mark.slow
 def test_spatial_devices_engine_matches_unsharded(tmp_path):
     """TOML-level feature `[simulation] spatial_devices = P`: the engine run
     with the grid sharded over 4 devices reproduces the unsharded engine run

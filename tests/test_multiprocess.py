@@ -16,6 +16,9 @@ import sys
 import numpy as np
 import pytest
 
+# statistical/parity long-runners: fast tier skips this module
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "multiprocess_worker.py")
 

@@ -45,6 +45,7 @@ def _ka2d_chains(m=3, seed=42):
     return Chains(states=stacked, table=table, list_type="dense", n_chains=m)
 
 
+@pytest.mark.slow
 def test_pgmc_learns_parameters(tmp_path):
     chains = _ka2d_chains()
     pswap = 0.2
@@ -89,6 +90,7 @@ def test_pgmc_learns_parameters(tmp_path):
     assert p2.shape[1] == 3  # step, theta1, theta2
 
 
+@pytest.mark.slow
 def test_surrogate_gradient_matches_finite_differences():
     """jax.grad of the PGMC surrogate at a FIXED sampled action equals the
     central finite difference of the same expression (stop_gradient is the
@@ -154,6 +156,7 @@ def test_surrogate_gradient_matches_finite_differences():
         assert found_live, f"no live gradient found for move {m}"
 
 
+@pytest.mark.slow
 def test_score_gradient_agrees_with_pathwise_derivative():
     """Semantic check of the estimator (not just movement): the mean
     score-function gradient must agree with an INDEPENDENT estimator of
@@ -255,6 +258,7 @@ def _ka2d_chains_large(m=2, n_side=16, seed=9):
     return Chains(states=stacked, table=table, list_type="dense", n_chains=m)
 
 
+@pytest.mark.slow
 def test_pgmc_learns_sigma_on_checkerboard_backend(tmp_path):
     """PGMC on the parallel (checkerboard) backend: the estimator runs on
     mc.system via the dense ΔE path and the learned Gaussian σ feeds the
@@ -297,6 +301,7 @@ def test_pgmc_learns_sigma_on_checkerboard_backend(tmp_path):
     assert p1.shape[0] == len(sched)
 
 
+@pytest.mark.slow
 def test_cb_sigma_proxy_matches_kernel_grid_search_below_guard():
     """The PGMC estimator on the checkerboard backend optimises the
     GLOBAL-proposal objective J(σ) = E[A·|δ|²] as a proxy for the in-cell-

@@ -241,3 +241,45 @@ def test_adaptive_sigma_targets_acceptance(tmp_path):
     assert float(np.asarray(sim.pool_params[0]["sigma"])) == pytest.approx(
         final_sigma, rel=1e-10
     )
+
+
+def test_temperature_ladder_from_one_config(tmp_path):
+    """A vector temperature with a single configuration replicates the frame
+    across the ladder (parallel-tempering entry; reference accepts a
+    temperature vector, src/IO/IO.jl:263-271), composing with nsim."""
+    cfg = tmp_path / "config.xyz"
+    _write_small_config(str(cfg))
+    ladder = [2.0, 1.5, 1.0, 0.8]
+    chains = load_chains(
+        str(cfg),
+        args={"temperature": ladder, "model": "KobAndersen",
+              "list_type": "EmptyList"},
+    )
+    assert chains.n_chains == 4
+    np.testing.assert_allclose(np.asarray(chains.states.temperature), ladder)
+    # all rungs start from the same frame
+    p = np.asarray(chains.states.position)
+    np.testing.assert_array_equal(p[0], p[3])
+
+    chains2 = load_chains(
+        str(cfg),
+        args={"temperature": ladder, "model": "KobAndersen",
+              "list_type": "EmptyList", "nsim": 2},
+    )
+    assert chains2.n_chains == 8
+    np.testing.assert_allclose(
+        np.asarray(chains2.states.temperature),
+        [t for t in ladder for _ in range(2)],
+    )
+
+    # vector length must match when there is more than one configuration
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    _write_small_config(str(multi / "a.xyz"))
+    _write_small_config(str(multi / "b.xyz"), seed=1)
+    with pytest.raises(ValueError, match="temperature vector length"):
+        load_chains(
+            str(multi),
+            args={"temperature": [1.0, 2.0, 3.0], "model": "KobAndersen",
+                  "list_type": "EmptyList"},
+        )

@@ -44,6 +44,7 @@ def _wide_system(table, ncx=16, ncy=4, seed=0):
 
 
 @pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.slow
 def test_spatial_matches_unsharded_exactly(n_devices):
     devices = jax.devices()
     if len(devices) < n_devices:
@@ -107,6 +108,7 @@ def test_slab_width_validation():
     assert SP.spatial_slab_width(spec2, 4) is None  # odd slabs
 
 
+@pytest.mark.slow
 def test_spatial_pool_disp_swap_matches_unsharded_exactly():
     """Pool mode (disp + DiscreteSwap): the sharded kernel consumes the same
     RNG layout as the unsharded pool kernel, so trajectories, species

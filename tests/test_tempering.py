@@ -160,6 +160,7 @@ def _ladder_chains(ladder, n=140, d=2, density=1.1920748468939728, seed=9,
                   n_chains=len(ladder))
 
 
+@pytest.mark.slow
 def test_ladder_marginals_match_single_T_runs(tmp_path):
     """Tempered ladder slot k samples the same <E>(T_k) as an independent
     single-T ensemble — the melting-curve-style physical gate (SURVEY step 9).
@@ -215,6 +216,7 @@ def test_ladder_marginals_match_single_T_runs(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_replica_exchange_over_checkerboard_backend(tmp_path):
     """ReplicaExchange permutes the CBState pytree (planes/slot/shift travel
     with the configuration); the incremental energy of every chain must still
