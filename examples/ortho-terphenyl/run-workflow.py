@@ -164,18 +164,21 @@ fmt = "EXYZ"
         if traj_interval
         else ""
     )
-    if rex_interval:
-        # replica-exchange equilibration: T is a LADDER (one chain slot per
-        # rung, configurations swap between slots — engine/tempering.py)
+    if isinstance(T, (list, tuple)):
+        # one chain slot per entry (a REX ladder, or one frame per T in the
+        # pooled production — io/loader.py temperature-vector semantics)
         t_str = "[" + ", ".join(str(float(t)) for t in T) + "]"
-        rex = f"""
+    else:
+        t_str = str(T)
+    rex = (
+        f"""
 [[simulation.output]]
 algorithm = "ReplicaExchange"
 scheduler_params = {{linear_interval = {rex_interval}}}
 """
-    else:
-        t_str = str(T)
-        rex = ""
+        if rex_interval
+        else ""
+    )
     return f"""
 [system]
 config = "{cfg}"
@@ -259,7 +262,9 @@ def main():
         "resume from an existing stage-1 workdir — lets the cheap "
         "densification run on CPU while the TPU is busy). 'R' runs the "
         "replica-exchange equilibration ladder instead of (or after) the "
-        "independent per-T stage 2 — e.g. '1R34'.",
+        "independent per-T stage 2 — e.g. '1R34'. 'P' replaces the per-T "
+        "stage 3 with ONE pooled production run over all temperatures "
+        "(full chip utilization) — e.g. '1RP4'.",
     )
     ap.add_argument("--rex-rungs", type=int, default=32,
                     help="ladder size for stage R (rex_ladder)")
@@ -356,15 +361,49 @@ def main():
                 rex_out, "chains", str(slot), "lastframe.xyz"
             )
 
+    # ---- stage P: POOLED production (one run, all temperatures) -----------
+    # Per-T production runs of nsim chains leave most of the chip idle; one
+    # pooled run holds nsim replicas of EVERY temperature's start frame
+    # (directory ingest + temperature vector + nsim cloning, io/loader.py)
+    # so the chain batch is 5x larger at identical physics. Chain slots are
+    # grouped [T0 x nsim, T1 x nsim, ...] (files sort by index prefix; nsim
+    # clones consecutively).
+    pooled_run = os.path.join(wd, "3-production-pooled", "run")
+    if "P" in args.stages:
+        cfgdir = os.path.join(wd, "3-production-pooled", "start-frames")
+        os.makedirs(cfgdir, exist_ok=True)
+        for i, T in enumerate(args.temperatures):
+            shutil.copy(lastframes[T], os.path.join(cfgdir, f"{i:03d}.xyz"))
+        run_cli(
+            params_toml(
+                cfgdir, list(args.temperatures), 1.2, args.prod_steps,
+                pooled_run, traj_interval=max(1, args.prod_steps // 50),
+                nsim=args.nsim, traj_log=True, parallel=use_parallel,
+            ),
+            pooled_run,
+        )
+        print(f"[stage P] pooled production done "
+              f"({len(args.temperatures)} x {args.nsim} chains)", flush=True)
+
     # ---- stage 3: production with log-spaced trajectories -----------------
-    trajs = {
-        T: [
-            os.path.join(wd, "3-production", str(T), "chains", str(k + 1),
-                         "trajectory.exyz")
-            for k in range(args.nsim)
-        ]
-        for T in args.temperatures
-    }
+    if "P" in args.stages or os.path.isdir(pooled_run):
+        trajs = {
+            T: [
+                os.path.join(pooled_run, "chains",
+                             str(i * args.nsim + k + 1), "trajectory.exyz")
+                for k in range(args.nsim)
+            ]
+            for i, T in enumerate(args.temperatures)
+        }
+    else:
+        trajs = {
+            T: [
+                os.path.join(wd, "3-production", str(T), "chains", str(k + 1),
+                             "trajectory.exyz")
+                for k in range(args.nsim)
+            ]
+            for T in args.temperatures
+        }
     if "3" in args.stages:
         for T in args.temperatures:
             out = os.path.join(wd, "3-production", str(T))
