@@ -2,6 +2,7 @@ from .base import (
     Move,
     discrete_swap,
     displacement,
+    displacement_smart,
     init_pool_params,
     molecule_flip,
     pool_probabilities,
