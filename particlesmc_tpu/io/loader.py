@@ -51,8 +51,14 @@ class Chains:
 
 
 # Reference list names → our neighbour modes. LinkedList and CellList are both
-# bucketed cell grids in the rebuild (one fused implementation); VerletList maps
-# to the cell-backed candidate path as well until a skin variant lands.
+# bucketed cell grids in the rebuild (one fused implementation). VerletList
+# (reference src/neighbours.jl:387-543) maps to the cell-backed path BY DESIGN,
+# with a load-time warning (engine/simulation.py): a per-particle skin list is
+# a [N, K] data-dependent gather structure, and vector-index gathers serialize
+# on TPU (measured ~3 ms per ΔE, docs/man/performance.md) — the skin variant's
+# entire benefit on a CPU (fewer candidates per move) is the thing a TPU cannot
+# exploit. The checkerboard backend's static-slice candidate blocks are the
+# TPU-shaped replacement for both LinkedList and VerletList.
 LIST_REGISTRY = {
     "EmptyList": "dense",
     "CellList": "cell",
