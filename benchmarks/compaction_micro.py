@@ -11,6 +11,16 @@ in-range mask (mean ~372 of 832 lanes in range). Mechanisms:
 
 Prints us/substep for each; the compaction amortises over `inner` sub-moves,
 so viability = cost(mechanism) << inner * cost(baseline_L_to_K_saving).
+
+CAUTION — recorded outcome (round 5): these STANDALONE timings (tens of
+us) did NOT predict in-situ behaviour. Embedded in the real hyper-sweep
+(vmapped, inside the rounds scan, fused against the ΔE pipeline) the
+scatter and gather mechanisms serialized over the chain batch
+(~1 ms/chain/substep) and the value-sort cost ~45 ms/substep — see the
+"candidate compaction" section of docs/man/performance.md. Standalone op
+microbenchmarks on TPU measure the best-case lowering, which XLA does not
+necessarily reproduce inside a larger fused program; always confirm with
+an end-to-end kernel measurement before building on one.
 """
 
 import time
