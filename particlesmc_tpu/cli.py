@@ -223,6 +223,15 @@ def main(argv=None) -> int:
         return 1
     with open(argv[0], "rb") as f:
         params = tomllib.load(f)
+    # a relative [system] config resolves against the params file's own
+    # directory when it does not exist under the CWD — so
+    # `particlesmc-tpu examples/movie/params.toml` works from anywhere
+    # (the reference's examples cd into each directory instead)
+    cfg = params.get("system", {}).get("config")
+    if cfg and not os.path.isabs(cfg) and not os.path.exists(cfg):
+        beside = os.path.join(os.path.dirname(os.path.abspath(argv[0])), cfg)
+        if os.path.exists(beside):
+            params["system"]["config"] = beside
     run_params(params, resume=resume)
     return 0
 
