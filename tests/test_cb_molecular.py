@@ -207,3 +207,51 @@ def test_molecular_rejects_swap_pool():
     pool = (MB.discrete_swap(0, 1, probability=1.0),)
     with pytest.raises(ValueError, match="molecular"):
         CB.build_hyper_sweep_fn(spec, table, n, pool=pool, max_bonds=2)
+
+
+@pytest.mark.slow
+def test_molecular_gr_parity_checkerboard_vs_sequential():
+    """BASELINE correctness gate on the MOLECULAR system family: the
+    pair-correlation distribution of the trimer melt agrees within MC error
+    between the sequential kernel and the molecular checkerboard backend
+    (the atomic analogue lives in tests/test_analysis.py)."""
+    from particlesmc_tpu.analysis import radial_distribution
+
+    st, table = _trimer_melt(n_mol=64, density=0.4, temp=2.0)
+    n = st.position.shape[0]
+    pool = (MB.displacement(0.12, probability=0.9), MB.molecule_flip(0.1))
+    params = MB.init_pool_params(pool)
+    ms, ml = mol_table(np.asarray(st.molecule))
+    config = K.KernelConfig(
+        pool=pool, table=table, cell_spec=None,
+        mol_start=tuple(ms), mol_len=tuple(ml),
+    )
+    mc = K.init_mc_state(st, config, 13)
+    sweep = jax.jit(K.build_sweep_fn(config, n))
+    for _ in range(200):
+        mc = sweep(mc, params)
+    st_eq = mc.system
+
+    box = np.asarray(st_eq.box)
+    frames_seq = []
+    for _ in range(150):
+        mc = sweep(mc, params)
+        frames_seq.append(np.asarray(mc.system.position))
+
+    spec = CB.make_cb_spec(box, T.interaction_range(table), n, occ_factor=4.0)
+    assert spec is not None
+    B = int(st.bonds.shape[1])
+    hs = jax.jit(
+        CB.build_hyper_sweep_fn(spec, table, n, pool=pool, max_bonds=B)
+    )
+    cb = CB.init_cb_state(st_eq, spec, seed=11, n_moves=len(pool))
+    frames_cb = []
+    for _ in range(150):
+        cb = hs(cb, params)
+        frames_cb.append(np.asarray(cb.system.position))
+    assert not bool(cb.overflow)
+
+    r, g_seq = radial_distribution(np.stack(frames_seq), box, nbins=40, rmax=3.0)
+    _, g_cb = radial_distribution(np.stack(frames_cb), box, nbins=40, rmax=3.0)
+    mask = (g_seq > 0.2) | (g_cb > 0.2)
+    assert np.max(np.abs(g_seq[mask] - g_cb[mask])) < 0.35
