@@ -97,6 +97,13 @@ class PGMC:
         n = sim.chains.n_particles
         if len(optimisers) != len(config.pool):
             raise ValueError("one optimiser per move in pool order (reference contract)")
+        if any(m.policy == "smart" for m in config.pool):
+            raise ValueError(
+                "PGMC does not support the SmartGaussian (force-bias) "
+                "policy: its proposal density depends on the state through "
+                "the drift, which the global-proposal estimator surrogate "
+                "does not model — use SimpleGaussian for learnable sigma"
+            )
         self.optimisers = tuple(optimisers)
         self.q_batch_size = int(q_batch_size)
         self.learnable = [len(m.params) > 0 for m in config.pool]
