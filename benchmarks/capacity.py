@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--inner", type=int, default=48)
     ap.add_argument("--rebin", type=int, default=16)
     ap.add_argument("--max-chains", type=int, default=256)
+    ap.add_argument("--cap", type=int, default=0,
+                    help="bucket capacity override (0 = auto, rounded up "
+                    "to x32; overflow shows up as skip_frac)")
     args = ap.parse_args()
 
     dtype = jnp.float32
@@ -97,7 +100,9 @@ def main():
         # 21% slower at cap=28 vs 32; worse at 49): round UP to x32, which
         # only adds masked lanes and cannot overflow earlier.
         cap32 = -(-spec.cap // 32) * 32
-        if (n, DENSITY, TEMPERATURE) == (10_000, 1.2, 1.0):
+        if args.cap:
+            cap32 = int(args.cap)
+        elif (n, DENSITY, TEMPERATURE) == (10_000, 1.2, 1.0):
             # overflow-validated at EXACTLY the bench state point (bench.py);
             # other densities/temperatures keep the conservative auto cap
             cap32 = 32
